@@ -1,0 +1,628 @@
+"""Numpy golden-reference implementations of the vote-instances assembly math.
+
+These follow the *semantics* of the reference CUDA kernels
+(PatchPerPix/vote_instances/cuda/fillConsensusArray.cu, rankPatches.cu,
+computePatchGraph.cu, normConsensusArray.cu) and the python greedy stages
+(foreground_cover.py, aff_patch_graph.py, graph_to_labeling.py, graph_mws.py)
+exactly, but are written directly from the math: per-center loops with
+vectorized patch-pair inner computation.  They are the oracle the XLA/Pallas
+implementations are tested against, and the exact-parity host path for small
+volumes.
+
+Conventions
+-----------
+- ``affs``: float array ``(P, *vol)`` with ``P = prod(patchshape)``; channel
+  ``p`` at voxel ``c`` is the predicted probability that voxel
+  ``c + unravel(p) - rad`` belongs to the same instance as ``c``.
+- ``patchshape``: per-axis patch extents; entries may be 1 (2D case uses
+  ``(1, py, px)``).
+- consensus array: ``(*(2*ps-1 per axis, or 1 where ps==1), *vol)`` float32.
+  Offset index of the spatial delta ``d = p2 - p1`` is ``d + ps - 1``.
+  (The reference CUDA allocates ``2*ps`` per axis, the last slot of which is
+  never written; we store the tight ``2*ps-1``.)
+- Foreground is *derived* from the center channel: ``affs[mid] > th``
+  (fillConsensusArray.cu:32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def neigh_extent(patchshape: np.ndarray) -> np.ndarray:
+    """Consensus offset-axis extents: 2*ps-1 where ps>1, else 1."""
+    ps = np.asarray(patchshape)
+    return np.where(ps > 1, 2 * ps - 1, 1)
+
+
+def patch_offsets(patchshape: np.ndarray) -> np.ndarray:
+    """(P, ndim) integer patch coordinates in C order (linear index order)."""
+    ps = tuple(int(p) for p in patchshape)
+    grid = np.stack(np.meshgrid(*[np.arange(p) for p in ps], indexing="ij"),
+                    axis=-1)
+    return grid.reshape(-1, len(ps))
+
+
+def bg_threshold(th: float, bg_mode: str) -> float:
+    """Background-vote threshold variant (utilVoteInstances.py:389-406).
+
+    ``inv``  : v2 < 1-th (falls back to "less" when th < 0.5)
+    ``half`` : v2 < th/2
+    ``less`` : v2 < th     (flylight default: vi_bg_use_less_than_th)
+    """
+    if bg_mode == "inv":
+        return (1.0 - th) if th >= 0.5 else th
+    if bg_mode == "half":
+        return th / 2.0
+    if bg_mode == "less":
+        return th
+    raise ValueError(f"unknown bg_mode {bg_mode}")
+
+
+def _pair_weights(v_hi, v_other, th: float, weight_mode: str, positive: bool):
+    """Vote weight v3 (fillConsensusArray.cu:104-133).
+
+    positive: both high -> v1*v2 based; negative: high/low -> v1*(1-v2) based.
+    """
+    v2 = v_other if positive else (1.0 - v_other)
+    if weight_mode == "norm_prob_product":
+        return (v_hi * v2 - th * th) / (1.0 - th * th)
+    if weight_mode == "prob_product":
+        return v_hi * v2
+    if weight_mode == "count":
+        return np.ones_like(np.broadcast_arrays(v_hi, v2)[1], dtype=np.float64)
+    raise ValueError(f"unknown weight_mode {weight_mode}")
+
+
+def _center_iter(affs, patchshape, th):
+    """Yield (center, v, tgt_coords) for interior fg centers.
+
+    v: (P,) affinities at the center.  tgt_coords: (P, ndim) absolute
+    coordinates of each patch pixel.
+    """
+    ps = np.asarray(patchshape)
+    rad = ps // 2
+    vol_shape = np.array(affs.shape[1:])
+    mid = int(np.prod(ps) // 2)
+    offs = patch_offsets(ps)
+    fg = affs[mid] > th
+    for c in np.argwhere(fg):
+        if np.any(c < rad) or np.any(c >= vol_shape - rad):
+            continue
+        v = affs[(slice(None),) + tuple(c)]
+        tgt = c[None, :] + offs - rad[None, :]
+        yield c, v, tgt
+
+
+def consensus_reference(
+    affs: np.ndarray,
+    patchshape,
+    th: float = 0.5,
+    bg_mode: str = "less",
+    weight_mode: str = "norm_prob_product",
+    norm_aff: bool = True,
+    overlap: np.ndarray | None = None,
+):
+    """Consensus vote array (fillConsensusArray.cu:5-175 + normConsensusArray.cu).
+
+    Returns (consensus, counts) both ``(*neigh, *vol)`` float32; consensus is
+    count-normalized if ``norm_aff``.
+    """
+    ps = np.asarray(patchshape, dtype=np.int64)
+    neigh = neigh_extent(ps)
+    vol_shape = affs.shape[1:]
+    P = int(np.prod(ps))
+    mid = P // 2
+    offs = patch_offsets(ps)
+    fg = affs[mid] > th
+    bg_th = bg_threshold(th, bg_mode)
+
+    cons = np.zeros(tuple(neigh) + tuple(vol_shape), dtype=np.float64)
+    cnt = np.zeros_like(cons)
+
+    lin = np.arange(P)
+    # pair orientation: base is the pixel with the smaller linear patch index
+    # (== lexicographically smaller spatial offset)
+    for c, v, tgt in _center_iter(affs, ps, th):
+        tgt_ok = fg[tuple(tgt.T)]
+        if overlap is not None:
+            tgt_ok &= ~overlap[tuple(tgt.T)].astype(bool)
+        hi = (v > th) & tgt_ok
+        lo = (v < bg_th) & tgt_ok
+
+        hi_idx = lin[hi]
+        lo_idx = lin[lo]
+
+        # positive votes: unordered hi-hi pairs, base = smaller linear index
+        for ai, a in enumerate(hi_idx):
+            bs = hi_idx[ai + 1:]
+            if len(bs) == 0:
+                continue
+            d = offs[bs] - offs[a] + ps - 1
+            base = tgt[a]
+            w = _pair_weights(v[a], v[bs], th, weight_mode, positive=True)
+            np.add.at(cons, tuple(d.T) + tuple(base), w)
+            np.add.at(cnt, tuple(d.T) + tuple(base), 1.0)
+
+        # negative votes: hi at a, lo at b; base = smaller linear index,
+        # offset points from base to the other pixel
+        for a in hi_idx:
+            bs = lo_idx[lo_idx != a]
+            if len(bs) == 0:
+                continue
+            w = _pair_weights(v[a], v[bs], th, weight_mode, positive=False)
+            fwd = bs > a
+            if np.any(fwd):
+                d = offs[bs[fwd]] - offs[a] + ps - 1
+                np.add.at(cons, tuple(d.T) + tuple(tgt[a]), -w[fwd])
+                np.add.at(cnt, tuple(d.T) + tuple(tgt[a]), 1.0)
+            if np.any(~fwd):
+                bk = bs[~fwd]
+                d = offs[a] - offs[bk] + ps - 1
+                base = tgt[bk]
+                np.add.at(cons, tuple(d.T) + tuple(base.T), -w[~fwd])
+                np.add.at(cnt, tuple(d.T) + tuple(base.T), 1.0)
+
+    if norm_aff:
+        # normConsensusArray.cu:16-23 gates on fg centers, but cnt is only
+        # ever non-zero at fg voxels, so plain where() is equivalent.
+        cons = np.where(cnt != 0, cons / np.maximum(cnt, 1e-30), cons)
+    return cons.astype(np.float32), cnt.astype(np.float32)
+
+
+def rank_patches_reference(
+    affs: np.ndarray,
+    cons: np.ndarray,
+    patchshape,
+    th: float = 0.5,
+    bg_mode: str = "less",
+    norm_rank: bool = True,
+    int_counter: bool = False,
+    overlap: np.ndarray | None = None,
+):
+    """Per-voxel patch score (rankPatches.cu:1-161).
+
+    Border / background voxels get the sentinel (-1 if norm_rank else
+    -9999999).  Returns float32 volume.
+    """
+    ps = np.asarray(patchshape, dtype=np.int64)
+    P = int(np.prod(ps))
+    mid = P // 2
+    offs = patch_offsets(ps)
+    fg = affs[mid] > th
+    bg_th = bg_threshold(th, bg_mode)
+
+    sentinel = -1.0 if norm_rank else -9999999.0
+    score = np.full(affs.shape[1:], sentinel, dtype=np.float64)
+
+    lin = np.arange(P)
+    for c, v, tgt in _center_iter(affs, ps, th):
+        tgt_ok = fg[tuple(tgt.T)]
+        if overlap is not None:
+            tgt_ok &= ~overlap[tuple(tgt.T)].astype(bool)
+        hi = (v > th) & tgt_ok
+        lo = (v < bg_th) & tgt_ok
+
+        acc = 0.0
+        fg_cnt = 0
+        hi_idx = lin[hi]
+        lo_idx = lin[lo]
+        # fgCnt (rankPatches.cu:139): every ordered pair (po1 hi, po2 target-
+        # eligible, po1 != po2) EXCEPT hi-hi pairs with po2 <= po1.
+        n_tgt = int(np.sum(tgt_ok))
+        n_hi = len(hi_idx)
+        fg_cnt = n_hi * (n_tgt - 1) - (n_hi * (n_hi - 1)) // 2
+
+        def consensus_at(d, base):
+            return cons[tuple((d + ps - 1)) + tuple(base)]
+
+        for ai, a in enumerate(hi_idx):
+            for b in hi_idx[ai + 1:]:
+                v3 = consensus_at(offs[b] - offs[a], tgt[a])
+                if int_counter:
+                    acc += np.copysign(1.0, v3) if v3 != 0 else -1.0
+                else:
+                    acc += v3
+        for a in hi_idx:
+            for b in lo_idx:
+                if b == a:
+                    continue
+                if b > a:
+                    v3 = consensus_at(offs[b] - offs[a], tgt[a])
+                else:
+                    v3 = consensus_at(offs[a] - offs[b], tgt[b])
+                if int_counter:
+                    acc -= np.copysign(1.0, v3) if v3 != 0 else 1.0
+                else:
+                    acc -= v3
+
+        score[tuple(c)] = acc / max(1, fg_cnt) if norm_rank else acc
+    return score.astype(np.float32)
+
+
+def rank_patch_list(all_patches, scores):
+    """Sort patch centers by score, descending (ranked_patches.py:21-30).
+
+    Python's sort is stable, so ties keep the (scan-order) center order.
+    Returns list of (center ndarray, score).
+    """
+    ranked = [(np.asarray(idx), float(scores[tuple(idx)]))
+              for idx in all_patches]
+    ranked.sort(key=lambda t: t[1], reverse=True)
+    return ranked
+
+
+def foreground_cover_reference(
+    affs: np.ndarray,
+    mask_to_cover: np.ndarray,
+    ranked_patches: list,
+    patchshape,
+    fc_threshold: float = 0.5,
+    overlap: np.ndarray | None = None,
+    sparse_data: bool = False,
+    score_threshold: float | None = None,
+):
+    """Greedy foreground cover (foreground_cover.py:15-180).
+
+    Walks the ranked list; selects a patch when it covers more than ``pixTh``
+    still-uncovered fg pixels; covered pixels are removed.  The pixel
+    threshold cascades 500/100/50/10/0 for dense data ([0] for sparse), each
+    pass rescanning from the start of the list.
+    Returns (selected list of (center, score), running-mask-after).
+    """
+    ps = np.asarray(patchshape, dtype=np.int64)
+    rad = ps // 2
+    vol_shape = np.array(mask_to_cover.shape)
+    radslice = tuple(slice(int(r), int(s - r))
+                     for r, s in zip(rad, vol_shape))
+
+    running = mask_to_cover.astype(bool).copy()
+    selected = np.zeros(len(ranked_patches), dtype=bool)
+
+    mid = int(np.prod(ps) // 2)
+    pix_ths = [0] if sparse_data else [t for t in (500, 100, 50, 10, 0)
+                                       if t < mid]
+    for pix_th in pix_ths:
+        for r, (idx, sc) in enumerate(ranked_patches):
+            if not running[radslice].any():
+                break
+            if selected[r]:
+                continue
+            if score_threshold is not None and sc < score_threshold:
+                break
+            idx = np.asarray(idx)
+            if overlap is not None and overlap[tuple(idx)] > 0:
+                continue
+            patch = affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
+            window = tuple(slice(int(i - rr), int(i + rr + 1))
+                           for i, rr in zip(idx, rad))
+            pmask = patch > fc_threshold
+            covered = int(np.count_nonzero(running[window][pmask]))
+            if covered > pix_th:
+                selected[r] = True
+                sub = running[window]
+                sub[pmask] = False
+                running[window] = sub
+        if not running[radslice].any():
+            break
+
+    out = [rp for i, rp in enumerate(ranked_patches) if selected[i]]
+    return out, running
+
+
+def patch_fg_set(idx, affs, mask, patchshape, fc_threshold):
+    """Set of absolute fg coords a patch claims (get_patch_sets.py:32-54)."""
+    ps = np.asarray(patchshape, dtype=np.int64)
+    rad = ps // 2
+    idx = np.asarray(idx)
+    start = idx - rad
+    stop = idx + rad + 1
+    if np.any(start < 0) or np.any(stop > np.array(mask.shape)):
+        return set()
+    patch = affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
+    window = tuple(slice(int(s), int(e)) for s, e in zip(start, stop))
+    sel = np.logical_and(patch > fc_threshold, mask[window])
+    return set(map(tuple, (start + np.argwhere(sel)).tolist()))
+
+
+def thin_out_cover_reference(
+    affs: np.ndarray,
+    mask_to_cover: np.ndarray,
+    selected_patches: list,
+    patchshape,
+    fc_threshold: float = 0.5,
+):
+    """Greedy set cover thinning (foreground_cover.py:183-256).
+
+    Repeatedly picks the patch with the largest remaining fg set, removes its
+    pixels from the running mask and from all other sets.
+    """
+    ps = np.asarray(patchshape, dtype=np.int64)
+    rad = ps // 2
+    vol_shape = np.array(mask_to_cover.shape)
+    radslice = tuple(slice(int(r), int(s - r))
+                     for r, s in zip(rad, vol_shape))
+    running = mask_to_cover.astype(bool).copy()
+    fgs = [patch_fg_set(rp[0], affs, mask_to_cover, ps, fc_threshold)
+           for rp in selected_patches]
+    selected = np.zeros(len(selected_patches), dtype=bool)
+
+    while running[radslice].any():
+        sizes = [len(s) for s in fgs]
+        best = int(np.argmax(sizes))
+        selected[best] = True
+        best_fg = patch_fg_set(selected_patches[best][0], affs, running,
+                               ps, fc_threshold)
+        if best_fg:
+            coords = tuple(np.array(sorted(best_fg)).T)
+            running[coords] = False
+        fgs = [s - best_fg for s in fgs]
+        if sizes[best] == 0 and not best_fg:
+            # no patch can cover anything anymore; avoid infinite loop
+            break
+
+    return [rp for i, rp in enumerate(selected_patches) if selected[i]]
+
+
+def patch_pairs_reference(
+    selected_patches: list,
+    patchshape,
+    max_ps_dist: float = 2.0,
+    include_singleton: bool = True,
+):
+    """Candidate patch pairs (aff_patch_graph.py:43-110).
+
+    Sorts centers by last coordinate (stable), finds all pairs within L1
+    distance 2*sum(ps), drops pairs with any per-axis distance >
+    max_ps_dist*ps, optionally appends self-pairs.  Returns (pairs array
+    (N, 2*ndim) uint32, sorted points (M, ndim) uint32) or (None, pts).
+    """
+    from scipy.spatial import cKDTree
+
+    ps = np.asarray(patchshape, dtype=np.float32)
+    ndim = len(ps)
+    patches = sorted(selected_patches, key=lambda p: p[0][ndim - 1])
+    pts = np.array([p[0] for p in patches], dtype=np.uint32).reshape(-1, ndim)
+    if len(pts) == 0:
+        return None, pts
+    tree = cKDTree(pts, leafsize=4)
+    pairs = tree.query_pairs(2 * float(np.sum(ps)), p=1)
+    pairs = sorted(pairs)
+    keep = [p for p in pairs
+            if not np.any(np.abs(pts[p[0]].astype(np.float32)
+                                 - pts[p[1]].astype(np.float32))
+                          > max_ps_dist * ps)]
+    n = len(keep) + (len(pts) if include_singleton else 0)
+    if n == 0:
+        return None, pts
+    arr = np.zeros((n, 2 * ndim), dtype=np.uint32)
+    for i, (a, b) in enumerate(keep):
+        arr[i, :ndim] = pts[a]
+        arr[i, ndim:] = pts[b]
+    if include_singleton:
+        arr[len(keep):, :ndim] = pts
+        arr[len(keep):, ndim:] = pts
+    return arr, pts
+
+
+def patch_graph_reference(
+    affs: np.ndarray,
+    cons: np.ndarray,
+    pairs: np.ndarray,
+    patchshape,
+    th: float = 0.5,
+    norm_graph: bool = True,
+    intersection_lcg: bool = True,
+):
+    """Patch-pair affinity weights (computePatchGraph.cu:3-136).
+
+    For each pair, sums consensus over cross-patch fg-pixel pairs within
+    reach.  Pixels in the patch intersection are dropped with ~80%
+    probability via the kernel's deterministic LCG when
+    ``intersection_lcg``.  Returns float32 (num_pairs,) weights.
+    """
+    ps = np.asarray(patchshape, dtype=np.int64)
+    ndim = len(ps)
+    rad = ps // 2
+    P = int(np.prod(ps))
+    mid = P // 2
+    offs = patch_offsets(ps)
+    fg = affs[mid] > th
+    vol_shape = np.array(affs.shape[1:])
+    strides = np.array([int(np.prod(vol_shape[i + 1:])) for i in range(ndim)])
+
+    weights = np.zeros(len(pairs), dtype=np.float64)
+    for pi, pair in enumerate(pairs):
+        c1 = pair[:ndim].astype(np.int64)
+        c2 = pair[ndim:].astype(np.int64)
+        rnd = 1
+        for coord in np.concatenate([c1, c2]):
+            rnd = (rnd * int(coord)) & 0xFFFFFFFF
+        v1 = affs[(slice(None),) + tuple(c1)]
+        v2 = affs[(slice(None),) + tuple(c2)]
+        acc = 0.0
+        fg_cnt = 0
+        for a in range(P):
+            x1 = c1 + offs[a] - rad
+            if np.any(x1 < 0) or np.any(x1 >= vol_shape):
+                continue
+            if not fg[tuple(x1)] or v1[a] <= th:
+                continue
+            for b in range(P):
+                x2 = c2 + offs[b] - rad
+                if np.any(x2 < 0) or np.any(x2 >= vol_shape):
+                    continue
+                if not fg[tuple(x2)] or v2[b] <= th:
+                    continue
+                # intersection: x1 within reach of c2 and x2 within reach of c1
+                if (np.all(np.abs(x1 - c2) <= rad)
+                        and np.all(np.abs(x2 - c1) <= rad)):
+                    if intersection_lcg:
+                        rnd = (rnd * 1103515245) & 0xFFFFFFFF
+                        if rnd / 4294967296.0 > 0.2:
+                            continue
+                g1 = int(np.dot(x1, strides))
+                g2 = int(np.dot(x2, strides))
+                if g1 <= g2:
+                    d = x2 - x1
+                    base = x1
+                else:
+                    d = x1 - x2
+                    base = x2
+                # CUDA bound check allows d == ps (reads an always-zero slot)
+                if np.any(d < -(ps - 1)) or np.any(d > ps):
+                    continue
+                if np.all(d <= ps - 1):
+                    acc += cons[tuple(d + ps - 1) + tuple(base)]
+                fg_cnt += 1
+        weights[pi] = acc / max(1, fg_cnt) if norm_graph else acc
+    return weights.astype(np.float32)
+
+
+def graph_components(pairs: np.ndarray, weights: np.ndarray, mws: bool = False):
+    """Connected components over positive edges, or mutex watershed.
+
+    graph_to_labeling.py:46-54 / graph_mws.py:7-85.  Nodes are patch-center
+    tuples.  Returns a list of lists of node tuples (deterministic order).
+    """
+    ndim = pairs.shape[1] // 2
+    edges = []
+    for (pr, w) in zip(pairs, weights):
+        if w == 0:
+            continue
+        a = tuple(int(x) for x in pr[:ndim])
+        b = tuple(int(x) for x in pr[ndim:])
+        edges.append((a, b, float(w)))
+
+    if mws:
+        return _mws(edges)
+
+    # union-find over positive edges, insertion-ordered
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    order = []
+    for a, b, w in edges:
+        if w <= 0:
+            continue
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                order.append(n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    comps: dict = {}
+    for n in order:
+        comps.setdefault(find(n), []).append(n)
+    return list(comps.values())
+
+
+def _mws(edges):
+    """Mutex watershed on the patch graph (graph_mws.py:7-85 semantics).
+
+    Kruskal over |aff|-sorted edges; positive edges merge unless a mutex
+    (negative edge seen earlier at higher |aff|) separates the two clusters.
+    """
+    nodes = []
+    node_ids = {}
+    for a, b, w in edges:
+        for n in (a, b):
+            if n not in node_ids:
+                node_ids[n] = len(nodes)
+                nodes.append(n)
+    typed = [(node_ids[a], node_ids[b], abs(w), 1 if w > 0 else -1)
+             for a, b, w in edges]
+    typed.sort(key=lambda x: x[2], reverse=True)
+
+    cc_of = {i: 0 for i in range(len(nodes))}
+    ccs = {0: set(range(len(nodes)))}
+    mutex = set()
+    next_cc = 1
+    for e0, e1, a, attractive in typed:
+        if attractive == 1 and (e0, e1) not in mutex:
+            c0, c1 = cc_of[e0], cc_of[e1]
+            if c0 == 0 and c1 == 0:
+                ccs[next_cc] = {e0, e1}
+                ccs[0] -= {e0, e1}
+                cc_of[e0] = cc_of[e1] = next_cc
+                next_cc += 1
+            elif c0 == 0 or c1 == 0:
+                cc = max(c0, c1)
+                lone = e0 if c0 == 0 else e1
+                has_mutex = any((cc_of[e] == cc and f == lone)
+                                or (cc_of[f] == cc and e == lone)
+                                for (e, f) in mutex)
+                if not has_mutex:
+                    ccs[cc] |= {e0, e1}
+                    ccs[0] -= {e0, e1}
+                    cc_of[e0] = cc_of[e1] = cc
+            elif c0 != c1:
+                has_mutex = any((cc_of[e] == c0 and cc_of[f] == c1)
+                                or (cc_of[f] == c0 and cc_of[e] == c1)
+                                for (e, f) in mutex)
+                if not has_mutex:
+                    keep, drop = min(c0, c1), max(c0, c1)
+                    ccs[keep] |= ccs[drop]
+                    for e in ccs[drop]:
+                        cc_of[e] = keep
+                    ccs[drop] = set()
+        else:
+            mutex.add((e0, e1))
+
+    out = []
+    for cc_id in sorted(ccs.keys()):
+        if cc_id > 0 and ccs[cc_id]:
+            out.append([nodes[i] for i in sorted(ccs[cc_id])])
+    return out
+
+
+def components_to_instances(
+    components,
+    affs: np.ndarray,
+    patchshape,
+    vol_shape,
+    patch_threshold: float = 0.5,
+    one_instance_per_channel: bool = False,
+):
+    """Paint components into an instance label volume
+    (graph_to_labeling.py:56-115)."""
+    ps = np.asarray(patchshape, dtype=np.int64)
+    rad = ps // 2
+    vol_shape = tuple(int(s) for s in vol_shape)
+    instances = np.zeros(vol_shape, dtype=np.uint16)
+    per_channel = []
+    for value, comp in enumerate(components, start=1):
+        if one_instance_per_channel:
+            cur = np.zeros(vol_shape, dtype=np.uint16)
+        for idx in comp:
+            idx = np.asarray(idx)
+            patch = affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
+            start = np.maximum(0, idx - rad)
+            stop = np.minimum(idx + rad + 1, vol_shape)
+            window = tuple(slice(int(s), int(e))
+                           for s, e in zip(start, stop))
+            psl = tuple(slice(int(s - (i - r)), int(ps_ - ((i + r + 1) - e)))
+                        for s, e, i, r, ps_ in
+                        zip(start, stop, idx, rad, ps))
+            pmask = patch[psl] > patch_threshold
+            if one_instance_per_channel:
+                sub = cur[window]
+                sub[pmask] = value
+                cur[window] = sub
+            else:
+                sub = instances[window]
+                sub[pmask] = value
+                instances[window] = sub
+        if one_instance_per_channel:
+            per_channel.append(cur)
+    if one_instance_per_channel:
+        return (np.stack(per_channel, axis=0) if per_channel
+                else np.zeros((0,) + vol_shape, dtype=np.uint16))
+    return instances

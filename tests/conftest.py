@@ -1,0 +1,9 @@
+import os
+
+# Multi-chip sharding is tested on a virtual 8-device CPU mesh; the real TPU
+# is exercised by bench.py / the driver, not by unit tests.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
