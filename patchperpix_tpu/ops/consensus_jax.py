@@ -1,0 +1,454 @@
+"""XLA implementations of the consensus / ranking / patch-graph math.
+
+TPU-native reformulation of the reference CUDA kernels
+(cuda/fillConsensusArray.cu, rankPatches.cu, computePatchGraph.cu):
+
+Instead of one thread per voxel looping over all patch-pixel pairs with
+atomics, the consensus array is built as a *scan over base patch offsets q*:
+for each q, the votes of ALL (q, r) channel pairs at ALL centers are one
+dense elementwise tensor op, and their scatter into the 6-D consensus array
+is a single contiguous block update (the r -> r-q+ps-1 offset remap is a
+shift of the whole patch box, and the center -> base-pixel shift is the same
+spatial translation for every r).  No atomics, no gathers; everything is
+static-shaped and fuses on the VPU.
+
+Patch ranking reads the consensus with the same block-slice pattern
+(one dynamic_slice per q instead of one update), so consensus construction
+and ranking share their masks and can run back to back on-device.
+
+The patch graph gathers, per candidate patch pair, one consensus sub-block
+around the center offset and contracts it against the two patches' fg masks
+with a static gather table; pairs are processed vmapped in chunks.
+
+Conventions match ops/np_reference.py: affs is (P, *vol) float32,
+consensus is (*neigh, *vol) with neigh = 2*ps-1 (or 1 where ps == 1), and the
+offset index of delta d = p2 - p1 is d + ps - 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .np_reference import bg_threshold, neigh_extent, patch_offsets
+
+
+@dataclass(frozen=True)
+class ConsensusConfig:
+    """Static configuration for the consensus/rank/graph kernels.
+
+    Field defaults follow the flylight reference config
+    (experiments/flylight/setups/setup01/default.toml:[vote_instances]).
+    """
+    patchshape: tuple
+    patch_threshold: float = 0.5
+    bg_mode: str = "less"                   # vi_bg_use_less_than_th
+    weight_mode: str = "norm_prob_product"  # consensus_norm_prob_product
+    norm_aff: bool = True                   # consensus_norm_aff
+    norm_rank: bool = True                  # rank_norm_patch_score
+    rank_int_counter: bool = False          # rank_int_counter
+    norm_graph: bool = True                 # patch_graph_norm_aff
+    overlapping_inst: bool = False
+
+    @property
+    def ps(self) -> np.ndarray:
+        return np.asarray(self.patchshape, dtype=np.int64)
+
+    @property
+    def rad(self) -> np.ndarray:
+        return self.ps // 2
+
+    @property
+    def neigh(self) -> np.ndarray:
+        return neigh_extent(self.ps)
+
+    @property
+    def P(self) -> int:
+        return int(np.prod(self.ps))
+
+    @property
+    def mid(self) -> int:
+        return self.P // 2
+
+    @property
+    def bg_th(self) -> float:
+        return bg_threshold(self.patch_threshold, self.bg_mode)
+
+
+def _lexpos_table(ps: np.ndarray) -> np.ndarray:
+    """(P, P) bool: lexpos[q, r] == True iff patch offset r > q (linear order).
+
+    Linear patch index order == lexicographic order of the spatial offsets,
+    which is how the CUDA kernels orient pairs (po2 > po1)."""
+    P = int(np.prod(ps))
+    q = np.arange(P)
+    return q[None, :] > q[:, None]
+
+
+def _shift_nd(vol: jnp.ndarray, shift, axes) -> jnp.ndarray:
+    """Translate ``vol`` by ``shift`` (traced per-axis ints), zero fill.
+
+    out[x] = vol[x - shift] where in bounds, else 0.
+    """
+    out = vol
+    for s, ax in zip(shift, axes):
+        out = jnp.roll(out, s, axis=ax)
+        size = out.shape[ax]
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, out.shape, ax)
+        # after roll by s: invalid region is [0, s) for s>0, [size+s, size) for s<0
+        mask = jnp.where(s >= 0, idx >= s, idx < size + s)
+        out = out * mask.astype(out.dtype)
+    return out
+
+
+def _masks(affs: jnp.ndarray, cfg: ConsensusConfig,
+           overlap: jnp.ndarray | None):
+    """(hi, lo, tgt) eligibility masks, each (P, *vol) float32.
+
+    hi[p, c]: center c interior+fg, patch value > th, target pixel fg (and
+    not overlap) -- fillConsensusArray.cu:25-60.  lo likewise with the
+    bg-threshold.  tgt: target-eligible regardless of patch value (used for
+    the rank fgCnt).
+    """
+    ps, rad = cfg.ps, cfg.rad
+    ndim = len(ps)
+    vol_shape = affs.shape[1:]
+    th = cfg.patch_threshold
+
+    fg = affs[cfg.mid] > th
+    interior = jnp.ones(vol_shape, dtype=bool)
+    for ax in range(ndim):
+        if rad[ax] == 0:
+            continue
+        idx = jax.lax.broadcasted_iota(jnp.int32, vol_shape, ax)
+        interior &= (idx >= int(rad[ax])) & (idx < vol_shape[ax] - int(rad[ax]))
+    center_ok = fg & interior
+
+    tgt_ok = fg
+    if cfg.overlapping_inst and overlap is not None:
+        tgt_ok = tgt_ok & jnp.logical_not(overlap.astype(bool))
+
+    offs = patch_offsets(ps)
+    # tgt[p][c] = tgt_ok[c + offs[p] - rad]: same translation as _shift_nd
+    # with shift = -(offs[p] - rad); stack via vmap over p.
+    shifts = jnp.asarray(-(offs - rad[None, :]), dtype=jnp.int32)
+    axes = tuple(range(ndim))
+
+    def tgt_at(s):
+        return _shift_nd(tgt_ok.astype(jnp.float32), s, axes)
+
+    tgt = jax.vmap(tgt_at)(shifts)          # (P, *vol)
+    base = center_ok.astype(jnp.float32)[None] * tgt
+    hi = base * (affs > th)
+    lo = base * (affs < cfg.bg_th)
+    tgt = center_ok.astype(jnp.float32)[None] * tgt
+    return hi, lo, tgt
+
+
+def _pos_weight(vq, vr, cfg: ConsensusConfig):
+    th = cfg.patch_threshold
+    if cfg.weight_mode == "norm_prob_product":
+        return (vq * vr - th * th) / (1.0 - th * th)
+    if cfg.weight_mode == "prob_product":
+        return vq * vr
+    return jnp.ones_like(vq * vr)
+
+
+def _neg_weight(v_hi, v_lo, cfg: ConsensusConfig):
+    th = cfg.patch_threshold
+    if cfg.weight_mode == "norm_prob_product":
+        return (v_hi * (1.0 - v_lo) - th * th) / (1.0 - th * th)
+    if cfg.weight_mode == "prob_product":
+        return v_hi * (1.0 - v_lo)
+    return jnp.ones_like(v_hi * v_lo)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_counts"))
+def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
+                    overlap: jnp.ndarray | None = None,
+                    with_counts: bool = False):
+    """Consensus vote array, count-normalized if cfg.norm_aff.
+
+    Returns (*neigh, *vol) float32 (and the raw counts if ``with_counts``).
+    """
+    ps, rad, neigh = cfg.ps, cfg.rad, cfg.neigh
+    ndim = len(ps)
+    P = cfg.P
+    vol_shape = affs.shape[1:]
+
+    hi, lo, _ = _masks(affs, cfg, overlap)
+    lexpos = jnp.asarray(_lexpos_table(ps), dtype=jnp.float32)
+    offs = jnp.asarray(patch_offsets(ps), dtype=jnp.int32)
+    rad_j = jnp.asarray(rad, dtype=jnp.int32)
+    psm1 = jnp.asarray(ps - 1, dtype=jnp.int32)
+
+    cons = jnp.zeros(tuple(neigh) + tuple(vol_shape), dtype=jnp.float32)
+    cnt = jnp.zeros_like(cons)
+    spatial_axes = tuple(range(ndim))
+
+    def body(carry, q):
+        cons, cnt = carry
+        v_q = affs[q]
+        hi_q, lo_q = hi[q], lo[q]
+        w_pos = _pos_weight(v_q[None], affs, cfg)
+        w_nqr = _neg_weight(v_q[None], affs, cfg)
+        w_nrq = _neg_weight(affs, v_q[None], cfg)
+        mask = lexpos[q].reshape((P,) + (1,) * ndim)
+
+        contrib = mask * (hi_q[None] * hi * w_pos
+                          - hi_q[None] * lo * w_nqr
+                          - lo_q[None] * hi * w_nrq)
+        contrib_cnt = mask * (hi_q[None] * hi + hi_q[None] * lo
+                              + lo_q[None] * hi)
+
+        # spatial translation center -> base pixel: x = c + (q - rad)
+        shift = offs[q] - rad_j
+        contrib = _shift_nd(contrib, shift, tuple(a + 1 for a in spatial_axes))
+        contrib_cnt = _shift_nd(contrib_cnt, shift,
+                                tuple(a + 1 for a in spatial_axes))
+
+        # d index = r - q + ps - 1: contiguous ps-sized block at ps-1-q
+        block_shape = tuple(int(p) for p in ps) + tuple(vol_shape)
+        contrib = contrib.reshape(block_shape)
+        contrib_cnt = contrib_cnt.reshape(block_shape)
+        start = tuple(psm1 - offs[q]) + (0,) * ndim
+        cur = jax.lax.dynamic_slice(cons, start, block_shape)
+        cons = jax.lax.dynamic_update_slice(cons, cur + contrib, start)
+        cur = jax.lax.dynamic_slice(cnt, start, block_shape)
+        cnt = jax.lax.dynamic_update_slice(cnt, cur + contrib_cnt, start)
+        return (cons, cnt), None
+
+    (cons, cnt), _ = jax.lax.scan(body, (cons, cnt), jnp.arange(P))
+
+    if cfg.norm_aff:
+        cons = jnp.where(cnt != 0, cons / jnp.maximum(cnt, 1e-30), cons)
+    if with_counts:
+        return cons, cnt
+    return cons
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
+                overlap: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-voxel patch agreement score (rankPatches.cu semantics).
+
+    Border / background voxels get the sentinel (-1 if norm_rank else
+    -9999999).
+    """
+    ps, rad, neigh = cfg.ps, cfg.rad, cfg.neigh
+    ndim = len(ps)
+    P = cfg.P
+    vol_shape = affs.shape[1:]
+
+    hi, lo, tgt = _masks(affs, cfg, overlap)
+    lexpos = jnp.asarray(_lexpos_table(ps), dtype=jnp.float32)
+    offs = jnp.asarray(patch_offsets(ps), dtype=jnp.int32)
+    rad_j = jnp.asarray(rad, dtype=jnp.int32)
+    psm1 = jnp.asarray(ps - 1, dtype=jnp.int32)
+    spatial_axes = tuple(range(ndim))
+
+    def body(acc, q):
+        hi_q, lo_q = hi[q], lo[q]
+        mask = lexpos[q].reshape((P,) + (1,) * ndim)
+        block_shape = tuple(int(p) for p in ps) + tuple(vol_shape)
+        start = tuple(psm1 - offs[q]) + (0,) * ndim
+        block = jax.lax.dynamic_slice(cons, start, block_shape)
+        block = block.reshape((P,) + tuple(vol_shape))
+        # invert the center->base translation: value seen from center c is
+        # cons[...][c + q - rad]
+        shift = -(offs[q] - rad_j)
+        block = _shift_nd(block, shift, tuple(a + 1 for a in spatial_axes))
+
+        w_hh = mask * hi_q[None] * hi
+        w_hl = mask * (hi_q[None] * lo + lo_q[None] * hi)
+        if cfg.rank_int_counter:
+            pos_v = jnp.where(block != 0, jnp.sign(block), -1.0)
+            neg_v = jnp.where(block != 0, jnp.sign(block), 1.0)
+            step = jnp.sum(w_hh * pos_v - w_hl * neg_v, axis=0)
+        else:
+            step = jnp.sum((w_hh - w_hl) * block, axis=0)
+        return acc + step, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(vol_shape, jnp.float32),
+                          jnp.arange(P))
+
+    # fgCnt (rankPatches.cu:139): ordered pairs (q hi, r target-eligible,
+    # q != r) minus hi-hi pairs with r <= q.
+    n_tgt = jnp.sum(tgt, axis=0)
+    n_hi = jnp.sum(hi, axis=0)
+    fg_cnt = n_hi * (n_tgt - 1.0) - n_hi * (n_hi - 1.0) / 2.0
+
+    # the CUDA center gate is only fg & interior (not the overlap mask)
+    fg = affs[cfg.mid] > cfg.patch_threshold
+    interior = jnp.ones(vol_shape, dtype=bool)
+    for ax in range(ndim):
+        if rad[ax] == 0:
+            continue
+        idx = jax.lax.broadcasted_iota(jnp.int32, vol_shape, ax)
+        interior &= (idx >= int(rad[ax])) & (idx < vol_shape[ax] - int(rad[ax]))
+    center_ok = fg & interior
+
+    sentinel = -1.0 if cfg.norm_rank else -9999999.0
+    score = acc / jnp.maximum(1.0, fg_cnt) if cfg.norm_rank else acc
+    return jnp.where(center_ok, score, sentinel).astype(jnp.float32)
+
+
+def symmetrize_consensus(cons: jnp.ndarray, cfg: ConsensusConfig) -> jnp.ndarray:
+    """Fill the lex-negative offset half: S[-d][x+d] = S[d][x].
+
+    After this, the canonical consensus value for a voxel pair (x1, x2) can
+    be read as S[x2-x1 + ps-1][x1] regardless of orientation (the CUDA patch
+    graph kernel re-orients pairs because it only stores the lex-positive
+    half; computePatchGraph.cu:89-124).
+    """
+    ps = cfg.ps
+    ndim = len(ps)
+    neigh = cfg.neigh
+    vol_shape = cons.shape[ndim:]
+    n_off = int(np.prod(neigh))
+
+    flat = cons.reshape((n_off,) + tuple(vol_shape))
+    deltas = patch_offsets(neigh) - (ps - 1)      # all offsets d
+    lex = np.array([tuple(d) > tuple([0] * ndim) for d in deltas])
+
+    # index of -d for each d
+    rev = np.ravel_multi_index(
+        tuple((-(deltas.T)) + (ps - 1)[:, None]), tuple(neigh))
+
+    neg_ids = np.where(~lex & lex[rev])[0]        # lexneg with a lexpos twin
+    if len(neg_ids) == 0:
+        return cons
+
+    def fill(args):
+        # for lexneg d: out[x] = cons[-d][x + d]
+        src, d = args
+        return _shift_nd(src, -d, tuple(range(ndim)))
+
+    srcs = flat[jnp.asarray(rev[neg_ids])]
+    ds = jnp.asarray(deltas[neg_ids], jnp.int32)
+    filled = jax.lax.map(fill, (srcs, ds), batch_size=64)
+    flat = flat.at[jnp.asarray(neg_ids)].set(filled)
+    return flat.reshape(cons.shape)
+
+
+def _graph_gather_tables(cfg: ConsensusConfig):
+    """Static index tables for the per-pair consensus contraction."""
+    ps = cfg.ps
+    ndim = len(ps)
+    P = cfg.P
+    offs = patch_offsets(ps)                       # (P, ndim)
+    dp = offs[None, :, :] - offs[:, None, :]       # (P1, P2, ndim) = p2 - p1
+    return offs, dp
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "drop_intersection"))
+def patch_graph_weights(
+    affs: jnp.ndarray,
+    cons_sym: jnp.ndarray,
+    pairs: jnp.ndarray,
+    cfg: ConsensusConfig,
+    seed: int = 0,
+    drop_intersection: bool = True,
+) -> jnp.ndarray:
+    """Affinity weight per candidate patch pair (computePatchGraph.cu).
+
+    ``cons_sym`` must be the symmetrized consensus.  Intersection pixels
+    (within both patches' reach) are kept with probability 0.2 via a
+    stateless per-(pair, p1, p2) PRNG (the CUDA kernel uses a sequential LCG;
+    order-dependence makes bit parity impossible in a parallel formulation,
+    the keep-probability is identical).
+    """
+    ps, rad = cfg.ps, cfg.rad
+    ndim = len(ps)
+    P = cfg.P
+    th = cfg.patch_threshold
+    vol_shape = np.array(affs.shape[1:])
+    strides = np.array([int(np.prod(vol_shape[i + 1:])) for i in range(ndim)])
+
+    offs, dp = _graph_gather_tables(cfg)
+    offs_j = jnp.asarray(offs, jnp.int32)
+    dp_j = jnp.asarray(dp, jnp.int32)              # (P, P, ndim)
+    rad_j = jnp.asarray(rad, jnp.int32)
+    ps_j = jnp.asarray(ps, jnp.int32)
+    strides_j = jnp.asarray(strides, jnp.int32)
+
+    fg = (affs[cfg.mid] > th).astype(jnp.float32)
+
+    # pad cons_sym offset axes so the per-pair d-block slice is in bounds for
+    # any |c2 - c1| <= 2*ps (max_total_patch_distance default)
+    pad_off = tuple(int(2 * p + 1) for p in ps)
+    pad_width = [(p, p) for p in pad_off] + [(0, 0)] * ndim
+    cons_pad = jnp.pad(cons_sym, pad_width)
+    # pad spatial axes by rad so the x1 window slice is in bounds
+    pad_width = [(0, 0)] * ndim + [(int(r), int(r)) for r in rad]
+    cons_pad = jnp.pad(cons_pad, pad_width)
+    fg_pad = jnp.pad(fg, [(int(r), int(r)) for r in rad])
+    affs_key_shape = tuple(int(2 * p - 1) for p in ps)
+
+    def one_pair(pair):
+        c1 = pair[:ndim].astype(jnp.int32)
+        c2 = pair[ndim:].astype(jnp.int32)
+        dc = c2 - c1
+
+        v1 = affs[(slice(None),) + tuple(c1)]
+        v2 = affs[(slice(None),) + tuple(c2)]
+        # fg windows around each center (padded -> start = c - rad + rad = c)
+        win1 = jax.lax.dynamic_slice(fg_pad, tuple(c1), tuple(int(p) for p in ps))
+        win2 = jax.lax.dynamic_slice(fg_pad, tuple(c2), tuple(int(p) for p in ps))
+        hi1 = (v1 > th) * win1.reshape(-1)
+        hi2 = (v2 > th) * win2.reshape(-1)
+
+        # consensus block: S[dc + dp + ps-1][c1 + p1 - rad]
+        # slice a ((2ps-1)^ndim, ps^ndim) block positioned at dc
+        start = tuple(dc[i] + pad_off[i] for i in range(ndim)) + tuple(c1)
+        block_shape = affs_key_shape + tuple(int(p) for p in ps)
+        block = jax.lax.dynamic_slice(cons_pad, start, block_shape)
+        block = block.reshape(int(np.prod(affs_key_shape)), P)
+
+        # static gather: value[p1, p2] = block[ravel(dp+ps-1), p1]
+        didx = np.ravel_multi_index(
+            tuple((dp + (ps - 1)[None, None, :]).transpose(2, 0, 1)),
+            affs_key_shape)                        # (P, P)
+        didx_j = jnp.asarray(didx, jnp.int32)
+        p1_idx = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(P, axis=1)
+        vals = block[didx_j, p1_idx]               # (P1, P2)
+
+        # bounds of the total offset d_t = dc + dp
+        dt = dc[None, None, :] + dp_j              # (P, P, ndim)
+        in_read = jnp.all((dt >= -(ps_j - 1)[None, None])
+                          & (dt <= (ps_j - 1)[None, None]), axis=-1)
+        # fgCnt bound is asymmetric in the canonical (lex-ordered) direction
+        x1 = c1[None, None, :] + offs_j[:, None, :] - rad_j
+        x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
+        g1 = jnp.sum(x1 * strides_j, axis=-1)
+        g2 = jnp.sum(x2 * strides_j, axis=-1)
+        fwd = (g1 <= g2)[..., None]
+        lo_b = jnp.where(fwd, -(ps_j - 1)[None, None], -ps_j[None, None])
+        hi_b = jnp.where(fwd, ps_j[None, None], (ps_j - 1)[None, None])
+        in_cnt = jnp.all((dt >= lo_b) & (dt <= hi_b), axis=-1)
+
+        # intersection drop (x1 within reach of c2 and x2 within reach of c1)
+        inter = (jnp.all(jnp.abs(x1 - c2[None, None, :]) <= rad_j, axis=-1)
+                 & jnp.all(jnp.abs(x2 - c1[None, None, :]) <= rad_j, axis=-1))
+        if drop_intersection:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(seed),
+                jnp.sum(c1 * 7919 + c2 * 104729).astype(jnp.uint32))
+            u = jax.random.uniform(key, (P, P))
+            keep = jnp.where(inter, u <= 0.2, True)
+        else:
+            keep = jnp.ones((P, P), dtype=bool)
+
+        m = hi1[:, None] * hi2[None, :] * keep
+        acc = jnp.sum(m * in_read * vals)
+        fg_cnt = jnp.sum(m * in_cnt)
+        if cfg.norm_graph:
+            return acc / jnp.maximum(1.0, fg_cnt)
+        return acc
+
+    return jax.lax.map(one_pair, pairs.astype(jnp.int32), batch_size=16)
