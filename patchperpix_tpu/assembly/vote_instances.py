@@ -1,0 +1,350 @@
+"""Vote-instances pipeline driver.
+
+End-to-end instance assembly from dense patch-affinity predictions,
+mirroring the reference pipeline (PatchPerPix/vote_instances/vote_instances.
+py:150-604): consensus voting -> patch ranking -> greedy foreground cover ->
+thin-out set cover -> patch pairs -> patch-affinity graph -> connected
+components / mutex watershed -> instance painting.
+
+Two engines:
+- ``jax`` (default): consensus / ranking / patch graph on device via
+  ops.consensus_jax; greedy cover and graph labeling on host (they are
+  inherently sequential and cheap).
+- ``numpy``: the golden reference path for exact-parity runs and tests.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field, fields
+
+import numpy as np
+
+from ..ops import np_reference as ref
+from ..ops.consensus_jax import (ConsensusConfig, consensus_array,
+                                 patch_graph_weights, rank_scores,
+                                 symmetrize_consensus)
+from ..utils import io as vio
+from ..utils.postprocess import remove_small_components
+from ..utils.skeleton import skeletonize
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class VoteInstancesParams:
+    """Typed view of the [vote_instances] TOML section (default.toml:114-169)."""
+    patchshape: tuple = (7, 7, 7)
+    patch_threshold: float = 0.5
+    fc_threshold: float = 0.5
+    fg_thresh_vi: float = -1.0
+    engine: str = "jax"                    # replaces the 'cuda' toggle
+    blockwise: bool = False
+    skeletonize_foreground: bool = False
+    select_patches_for_sparse_data: bool = True
+    skipThinCover: bool = False
+    skipConsensus: bool = False
+    skipRanking: bool = False
+    skipSelection: bool = False
+    mws: bool = False
+    includeSinglePatchCCS: bool = True
+    removeIntersection: bool = True
+    one_instance_per_channel: bool = False
+    overlapping_inst: bool = False
+    pad_with_ps: bool = False
+    consensus_norm_prob_product: bool = True
+    consensus_prob_product: bool = True
+    consensus_norm_aff: bool = True
+    vi_bg_use_inv_th: bool = False
+    vi_bg_use_half_th: bool = False
+    vi_bg_use_less_than_th: bool = True
+    rank_norm_patch_score: bool = True
+    rank_int_counter: bool = False
+    patch_graph_norm_aff: bool = True
+    max_total_patch_distance_in_ps_multiples: float = 2.0
+    score_threshold: float | None = None
+    remove_small_comps: int = 0
+    crop_to_foreground: bool = True
+    aff_key: str = "volumes/pred_affs"
+    fg_key: str | None = None
+    numinst_key: str | None = None
+    numinst_threshs: tuple = (0.9, 0.1)
+    res_key: str = "vote_instances"
+    result_folder: str = "."
+    return_intermediates: bool = False
+    selected_patches: list | None = None
+    selected_patch_pairs: np.ndarray | None = None
+    seed: int = 0
+
+    @classmethod
+    def from_config(cls, cfg: dict, **overrides) -> "VoteInstancesParams":
+        known = {f.name for f in fields(cls)}
+        kwargs = {k: v for k, v in cfg.items() if k in known}
+        kwargs.update(overrides)
+        if "patchshape" in kwargs:
+            kwargs["patchshape"] = tuple(int(p) for p in kwargs["patchshape"])
+        return cls(**kwargs)
+
+    @property
+    def bg_mode(self) -> str:
+        if self.vi_bg_use_less_than_th:
+            return "less"
+        if self.vi_bg_use_half_th:
+            return "half"
+        return "inv"
+
+    @property
+    def weight_mode(self) -> str:
+        if self.consensus_norm_prob_product:
+            return "norm_prob_product"
+        if self.consensus_prob_product:
+            return "prob_product"
+        return "count"
+
+    def consensus_config(self) -> ConsensusConfig:
+        return ConsensusConfig(
+            patchshape=tuple(int(p) for p in self.patchshape),
+            patch_threshold=self.patch_threshold,
+            bg_mode=self.bg_mode,
+            weight_mode=self.weight_mode,
+            norm_aff=self.consensus_norm_aff,
+            norm_rank=self.rank_norm_patch_score,
+            rank_int_counter=self.rank_int_counter,
+            norm_graph=self.patch_graph_norm_aff,
+            overlapping_inst=self.overlapping_inst,
+        )
+
+
+def _pad_all(arrays, rad):
+    pads = [(int(r), int(r)) for r in rad]
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+        elif a.ndim == len(rad) + 1:
+            out.append(np.pad(a, [(0, 0)] + pads, mode="constant"))
+        else:
+            out.append(np.pad(a, pads, mode="constant"))
+    return out
+
+
+def to_instance_seg(
+    pred_affs: np.ndarray,
+    foreground: np.ndarray,
+    mask_to_cover: np.ndarray,
+    numinst: np.ndarray,
+    params: VoteInstancesParams,
+):
+    """Full assembly (vote_instances.py:150-452).
+
+    Returns (instances uint16, foreground uint8), or (pairs, weights) when
+    ``params.return_intermediates`` (the blockwise contract).
+    """
+    ps = np.asarray(params.patchshape, dtype=np.int64)
+    rad = ps // 2
+    pred_affs = np.asarray(pred_affs, dtype=np.float32)
+
+    if params.pad_with_ps:
+        assert not params.blockwise, "can only pad whole volumes"
+        pred_affs, foreground, mask_to_cover, numinst = _pad_all(
+            [pred_affs, foreground, mask_to_cover, numinst], rad)
+
+    foreground = foreground.astype(bool)
+    vol_shape = foreground.shape
+    radslice = tuple(slice(int(r), int(s - r))
+                     for r, s in zip(rad, vol_shape))
+
+    overlap_mask = (numinst > 1).astype(np.uint8)
+    mask_to_cover = mask_to_cover.astype(bool).copy()
+
+    if not params.blockwise and params.skeletonize_foreground:
+        mask_to_cover = skeletonize(mask_to_cover) > 0
+    mask_to_cover[overlap_mask > 0] = False
+
+    instances = np.zeros(vol_shape, dtype=np.uint16)
+    if np.count_nonzero(mask_to_cover[radslice]) == 0:
+        logger.info("no fg found, returning")
+        if params.return_intermediates:
+            return None, None
+        return _maybe_unpad(instances, foreground, rad, params)
+
+    ccfg = params.consensus_config()
+    use_jax = params.engine == "jax"
+
+    # (1) consensus
+    overlap_arg = overlap_mask if params.overlapping_inst else None
+    if use_jax:
+        cons = consensus_array(pred_affs, ccfg, overlap=overlap_arg)
+        cons_np = None
+    else:
+        cons_np, _ = ref.consensus_reference(
+            pred_affs, ps, th=params.patch_threshold,
+            bg_mode=params.bg_mode, weight_mode=params.weight_mode,
+            norm_aff=params.consensus_norm_aff, overlap=overlap_arg)
+        cons = cons_np
+
+    # (2) patch ranking
+    if use_jax:
+        scores = np.asarray(rank_scores(pred_affs, cons, ccfg,
+                                        overlap=overlap_arg))
+    else:
+        scores = ref.rank_patches_reference(
+            pred_affs, cons_np, ps, th=params.patch_threshold,
+            bg_mode=params.bg_mode, norm_rank=params.rank_norm_patch_score,
+            int_counter=params.rank_int_counter, overlap=overlap_arg)
+
+    interior = np.zeros(vol_shape, dtype=bool)
+    interior[radslice] = True
+    all_patches = [tuple(c) for c in np.argwhere(foreground & interior)]
+    if len(all_patches) == 0:
+        logger.info("no interior patches, returning")
+        if params.return_intermediates:
+            return None, None
+        return _maybe_unpad(instances, foreground, rad, params)
+    ranked = ref.rank_patch_list(all_patches, scores)
+
+    # (3) greedy foreground cover  (4) thin-out set cover
+    if params.selected_patches is not None:
+        selected = [(np.asarray(c), 1.0) for c in params.selected_patches]
+    elif params.skipSelection:
+        selected = ranked
+    else:
+        selected, _ = ref.foreground_cover_reference(
+            pred_affs, mask_to_cover, ranked, ps,
+            fc_threshold=params.fc_threshold,
+            overlap=overlap_mask,
+            sparse_data=params.select_patches_for_sparse_data,
+            score_threshold=params.score_threshold)
+        if not params.skipThinCover and len(selected) > 0:
+            selected = ref.thin_out_cover_reference(
+                pred_affs, mask_to_cover, selected, ps,
+                fc_threshold=params.fc_threshold)
+
+    # (5) patch pairs + patch graph
+    if params.selected_patch_pairs is not None:
+        pairs = np.asarray(params.selected_patch_pairs, dtype=np.uint32)
+    else:
+        pairs, _ = ref.patch_pairs_reference(
+            selected, ps,
+            max_ps_dist=params.max_total_patch_distance_in_ps_multiples,
+            include_singleton=params.includeSinglePatchCCS)
+    if pairs is None or len(pairs) == 0:
+        logger.info("no patch pairs, returning")
+        if params.return_intermediates:
+            return None, None
+        return _maybe_unpad(instances, foreground, rad, params)
+
+    if use_jax:
+        sym = symmetrize_consensus(cons, ccfg)
+        weights = np.asarray(patch_graph_weights(
+            pred_affs, sym, pairs, ccfg, seed=params.seed,
+            drop_intersection=params.removeIntersection))
+    else:
+        weights = ref.patch_graph_reference(
+            pred_affs, cons_np, pairs, ps, th=params.patch_threshold,
+            norm_graph=params.patch_graph_norm_aff,
+            intersection_lcg=params.removeIntersection)
+
+    if params.return_intermediates:
+        return pairs, weights
+
+    # (6) components -> instance painting
+    comps = ref.graph_components(pairs, weights, mws=params.mws)
+    instances = ref.components_to_instances(
+        comps, pred_affs, ps, vol_shape,
+        patch_threshold=params.patch_threshold,
+        one_instance_per_channel=params.one_instance_per_channel)
+    return _maybe_unpad(instances, foreground, rad, params)
+
+
+def _maybe_unpad(instances, foreground, rad, params):
+    if params.pad_with_ps:
+        sl = tuple(slice(int(r), int(s - r))
+                   for r, s in zip(rad, foreground.shape))
+        foreground = foreground[sl]
+        instances = instances[(Ellipsis,) + sl] \
+            if params.one_instance_per_channel else instances[sl]
+    return instances.astype(np.uint16), foreground.astype(np.uint8)
+
+
+def load_affinities(aff_file: str, params: VoteInstancesParams):
+    """Load predictions and derive fg / numinst
+    (utilVoteInstances.py:136-322).
+
+    Handles channels-last rotation, logits -> sigmoid, fg from fg_key /
+    numinst argmax (or per-class thresholds) / center channel.
+    """
+    from scipy.special import expit
+
+    ps = np.asarray(params.patchshape)
+    io = vio.open_volume(aff_file, mode="r")
+    affs = io.read(key=params.aff_key).astype(np.float32)
+
+    P = int(np.prod(ps))
+    if affs.ndim >= 2 and affs.shape[-1] == P and affs.shape[0] != P:
+        affs = np.ascontiguousarray(np.moveaxis(affs, -1, 0))
+    affs = np.squeeze(affs)
+    if affs.ndim == 3:  # 2D data -> (P, 1, H, W)
+        affs = affs[:, None]
+    if affs.min() < 0 and affs.max() > 1:
+        affs = expit(affs)
+
+    fg_thresh = params.fg_thresh_vi if params.fg_thresh_vi > 0 \
+        else params.patch_threshold
+
+    numinst = None
+    if params.numinst_key:
+        prob = np.squeeze(io.read(key=params.numinst_key)).astype(np.float32)
+        if prob.ndim == 3:
+            prob = prob[:, None]
+        numinst = np.argmax(prob, axis=0).astype(np.uint8)
+        if params.numinst_threshs:
+            numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
+            for i, t in enumerate(params.numinst_threshs):
+                numinst[prob[i + 1] > t] = i + 1
+        foreground = numinst > 0
+    elif params.fg_key:
+        fg_prob = np.squeeze(io.read(key=params.fg_key))
+        if fg_prob.ndim == 2:
+            fg_prob = fg_prob[None]
+        foreground = fg_prob > fg_thresh
+    else:
+        foreground = affs[P // 2] > fg_thresh
+
+    io.close()
+    if numinst is None:
+        numinst = foreground.astype(np.uint8)
+    return affs, numinst, foreground.astype(bool)
+
+
+def do_all(aff_file: str, params: VoteInstancesParams,
+           result_folder: str | None = None) -> str:
+    """Process one prediction file into an instance hdf
+    (vote_instances.py:486-554)."""
+    result_folder = result_folder or params.result_folder
+    os.makedirs(result_folder, exist_ok=True)
+
+    affs, numinst, foreground = load_affinities(aff_file, params)
+    mask = foreground.copy()
+
+    instances, fg_out = to_instance_seg(affs, foreground, mask, numinst,
+                                        params)
+    if params.remove_small_comps > 0:
+        instances = remove_small_components(instances,
+                                            params.remove_small_comps)
+    if params.crop_to_foreground:
+        if params.one_instance_per_channel:
+            instances[:, fg_out == 0] = 0
+        else:
+            instances[fg_out == 0] = 0
+
+    base = os.path.splitext(os.path.basename(aff_file))[0]
+    out_path = os.path.join(result_folder, base + ".hdf")
+    out = vio.IoHDF5(out_path, mode="w")
+    out.write(instances, key=params.res_key,
+              attrs={"offset": (0, 0, 0), "resolution": (1, 1, 1)})
+    out.write(fg_out.astype(np.uint8), key="vote_foreground",
+              attrs={"offset": (0, 0, 0), "resolution": (1, 1, 1)})
+    out.close()
+    return out_path
