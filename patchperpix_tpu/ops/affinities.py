@@ -71,6 +71,7 @@ def gt_affinities_dense(labels: jnp.ndarray,
     offs = patch_offsets(ps)
     spatial = np.array(labels.shape[2:])
     out_sp = tuple(int(s - 2 * r) for s, r in zip(spatial, rad))
+    B, C = labels.shape[:2]
 
     fg = jnp.any(labels != 0, axis=1)  # (B, *S)
     center_sl = (slice(None), slice(None)) + tuple(
@@ -78,17 +79,19 @@ def gt_affinities_dense(labels: jnp.ndarray,
     center = labels[center_sl]                       # (B, C, *out)
     fg_center = fg[(slice(None),) + center_sl[2:]]   # (B, *out)
 
-    chunks = []
-    for p in range(len(offs)):
-        d = offs[p] - rad
-        off_sl = (slice(None), slice(None)) + tuple(
-            slice(int(r + dd), int(r + dd + o))
-            for r, dd, o in zip(rad, d, out_sp))
-        other = labels[off_sl]
-        fg_other = fg[(slice(None),) + off_sl[2:]]
+    starts = jnp.asarray(offs, jnp.int32)            # window start = offs
+
+    def one(start):
+        other = jax.lax.dynamic_slice(
+            labels, (0, 0) + tuple(start[i] for i in range(ndim)),
+            (B, C) + out_sp)
+        fg_other = jax.lax.dynamic_slice(
+            fg, (0,) + tuple(start[i] for i in range(ndim)), (B,) + out_sp)
         same = jnp.any((center == other) & (center != 0), axis=1)
-        chunks.append((same & fg_center & fg_other).astype(jnp.float32))
-    return jnp.stack(chunks, axis=1)
+        return (same & fg_center & (fg_other != 0)).astype(jnp.float32)
+
+    out = jax.lax.map(one, starts, batch_size=32)    # (P, B, *out)
+    return jnp.moveaxis(out, 0, 1)
 
 
 def sample_fg_corners(rng: jax.Array, gt_fg: jnp.ndarray,

@@ -378,17 +378,9 @@ def patch_graph_weights(
     strides_j = jnp.asarray(strides, jnp.int32)
 
     fg = (affs[cfg.mid] > th).astype(jnp.float32)
-
-    # pad cons_sym offset axes so the per-pair d-block slice is in bounds for
-    # any |c2 - c1| <= 2*ps (max_total_patch_distance default)
-    pad_off = tuple(int(2 * p + 1) for p in ps)
-    pad_width = [(p, p) for p in pad_off] + [(0, 0)] * ndim
-    cons_pad = jnp.pad(cons_sym, pad_width)
-    # pad spatial axes by rad so the x1 window slice is in bounds
-    pad_width = [(0, 0)] * ndim + [(int(r), int(r)) for r in rad]
-    cons_pad = jnp.pad(cons_pad, pad_width)
+    # pad spatial axes by rad so the per-center fg window slice is in bounds
     fg_pad = jnp.pad(fg, [(int(r), int(r)) for r in rad])
-    affs_key_shape = tuple(int(2 * p - 1) for p in ps)
+    neigh = cfg.neigh
 
     def one_pair(pair):
         c1 = pair[:ndim].astype(jnp.int32)
@@ -403,28 +395,23 @@ def patch_graph_weights(
         hi1 = (v1 > th) * win1.reshape(-1)
         hi2 = (v2 > th) * win2.reshape(-1)
 
-        # consensus block: S[dc + dp + ps-1][c1 + p1 - rad]
-        # slice a ((2ps-1)^ndim, ps^ndim) block positioned at dc
-        start = tuple(dc[i] + pad_off[i] for i in range(ndim)) + tuple(c1)
-        block_shape = affs_key_shape + tuple(int(p) for p in ps)
-        block = jax.lax.dynamic_slice(cons_pad, start, block_shape)
-        block = block.reshape(int(np.prod(affs_key_shape)), P)
-
-        # static gather: value[p1, p2] = block[ravel(dp+ps-1), p1]
-        didx = np.ravel_multi_index(
-            tuple((dp + (ps - 1)[None, None, :]).transpose(2, 0, 1)),
-            affs_key_shape)                        # (P, P)
-        didx_j = jnp.asarray(didx, jnp.int32)
-        p1_idx = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(P, axis=1)
-        vals = block[didx_j, p1_idx]               # (P1, P2)
-
-        # bounds of the total offset d_t = dc + dp
-        dt = dc[None, None, :] + dp_j              # (P, P, ndim)
+        # consensus values S[dc + dp + ps-1][c1 + p1 - rad]: one gather over
+        # the 6-D symmetrized consensus with per-(p1,p2) offset indices and
+        # per-p1 spatial indices; out-of-range offsets are clipped and
+        # masked by in_read (their true value is 0)
+        dt = dc[None, None, :] + dp_j              # (P, P, ndim) total offset
         in_read = jnp.all((dt >= -(ps_j - 1)[None, None])
                           & (dt <= (ps_j - 1)[None, None]), axis=-1)
-        # fgCnt bound is asymmetric in the canonical (lex-ordered) direction
+        d_idx = jnp.clip(dt + (ps_j - 1)[None, None],
+                         0, jnp.asarray(neigh - 1, jnp.int32)[None, None])
         x1 = c1[None, None, :] + offs_j[:, None, :] - rad_j
         x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
+        vol_max = jnp.asarray(vol_shape - 1, jnp.int32)
+        x1c = jnp.clip(x1, 0, vol_max[None, None])
+        gather_idx = tuple(d_idx[..., i] for i in range(ndim)) + \
+            tuple(x1c[..., i] for i in range(ndim))
+        vals = cons_sym[gather_idx]                # (P1, P2)
+        # fgCnt bound is asymmetric in the canonical (lex-ordered) direction
         g1 = jnp.sum(x1 * strides_j, axis=-1)
         g2 = jnp.sum(x2 * strides_j, axis=-1)
         fwd = (g1 <= g2)[..., None]

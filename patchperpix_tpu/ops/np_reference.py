@@ -204,7 +204,6 @@ def rank_patches_reference(
         lo = (v < bg_th) & tgt_ok
 
         acc = 0.0
-        fg_cnt = 0
         hi_idx = lin[hi]
         lo_idx = lin[lo]
         # fgCnt (rankPatches.cu:139): every ordered pair (po1 hi, po2 target-
@@ -213,28 +212,31 @@ def rank_patches_reference(
         n_hi = len(hi_idx)
         fg_cnt = n_hi * (n_tgt - 1) - (n_hi * (n_hi - 1)) // 2
 
-        def consensus_at(d, base):
-            return cons[tuple((d + ps - 1)) + tuple(base)]
+        def consensus_vals(a_arr, b_arr):
+            """cons at base=min(a,b), offset toward max(a,b), vectorized."""
+            base_i = np.minimum(a_arr, b_arr)
+            other_i = np.maximum(a_arr, b_arr)
+            d = offs[other_i] - offs[base_i] + ps - 1
+            base = tgt[base_i]
+            return cons[tuple(d.T) + tuple(base.T)]
 
-        for ai, a in enumerate(hi_idx):
-            for b in hi_idx[ai + 1:]:
-                v3 = consensus_at(offs[b] - offs[a], tgt[a])
+        if n_hi > 1:
+            ai, bi = np.triu_indices(n_hi, k=1)
+            v3 = consensus_vals(hi_idx[ai], hi_idx[bi])
+            if int_counter:
+                acc += np.where(v3 != 0, np.sign(v3), -1.0).sum()
+            else:
+                acc += v3.sum()
+        if n_hi > 0 and len(lo_idx) > 0:
+            aa, bb = np.meshgrid(hi_idx, lo_idx, indexing="ij")
+            sel = aa != bb
+            aa, bb = aa[sel], bb[sel]
+            if len(aa):
+                v3 = consensus_vals(aa, bb)
                 if int_counter:
-                    acc += np.copysign(1.0, v3) if v3 != 0 else -1.0
+                    acc -= np.where(v3 != 0, np.sign(v3), 1.0).sum()
                 else:
-                    acc += v3
-        for a in hi_idx:
-            for b in lo_idx:
-                if b == a:
-                    continue
-                if b > a:
-                    v3 = consensus_at(offs[b] - offs[a], tgt[a])
-                else:
-                    v3 = consensus_at(offs[a] - offs[b], tgt[b])
-                if int_counter:
-                    acc -= np.copysign(1.0, v3) if v3 != 0 else 1.0
-                else:
-                    acc -= v3
+                    acc -= v3.sum()
 
         score[tuple(c)] = acc / max(1, fg_cnt) if norm_rank else acc
     return score.astype(np.float32)
@@ -435,46 +437,59 @@ def patch_graph_reference(
     for pi, pair in enumerate(pairs):
         c1 = pair[:ndim].astype(np.int64)
         c2 = pair[ndim:].astype(np.int64)
-        rnd = 1
+        seed = 1
         for coord in np.concatenate([c1, c2]):
-            rnd = (rnd * int(coord)) & 0xFFFFFFFF
+            seed = (seed * int(coord)) & 0xFFFFFFFF
+
         v1 = affs[(slice(None),) + tuple(c1)]
         v2 = affs[(slice(None),) + tuple(c2)]
-        acc = 0.0
-        fg_cnt = 0
-        for a in range(P):
-            x1 = c1 + offs[a] - rad
-            if np.any(x1 < 0) or np.any(x1 >= vol_shape):
-                continue
-            if not fg[tuple(x1)] or v1[a] <= th:
-                continue
-            for b in range(P):
-                x2 = c2 + offs[b] - rad
-                if np.any(x2 < 0) or np.any(x2 >= vol_shape):
-                    continue
-                if not fg[tuple(x2)] or v2[b] <= th:
-                    continue
-                # intersection: x1 within reach of c2 and x2 within reach of c1
-                if (np.all(np.abs(x1 - c2) <= rad)
-                        and np.all(np.abs(x2 - c1) <= rad)):
-                    if intersection_lcg:
-                        rnd = (rnd * 1103515245) & 0xFFFFFFFF
-                        if rnd / 4294967296.0 > 0.2:
-                            continue
-                g1 = int(np.dot(x1, strides))
-                g2 = int(np.dot(x2, strides))
-                if g1 <= g2:
-                    d = x2 - x1
-                    base = x1
-                else:
-                    d = x1 - x2
-                    base = x2
-                # CUDA bound check allows d == ps (reads an always-zero slot)
-                if np.any(d < -(ps - 1)) or np.any(d > ps):
-                    continue
-                if np.all(d <= ps - 1):
-                    acc += cons[tuple(d + ps - 1) + tuple(base)]
-                fg_cnt += 1
+        x1_all = c1[None] + offs - rad        # (P, ndim)
+        x2_all = c2[None] + offs - rad
+        ok1 = np.all((x1_all >= 0) & (x1_all < vol_shape), axis=1)
+        ok1[ok1] &= fg[tuple(x1_all[ok1].T)]
+        ok1 &= v1 > th
+        ok2 = np.all((x2_all >= 0) & (x2_all < vol_shape), axis=1)
+        ok2[ok2] &= fg[tuple(x2_all[ok2].T)]
+        ok2 &= v2 > th
+        idx1 = np.where(ok1)[0]
+        idx2 = np.where(ok2)[0]
+        if len(idx1) == 0 or len(idx2) == 0:
+            weights[pi] = 0.0
+            continue
+
+        # all eligible (p1, p2) combos in kernel loop order (p1-major)
+        a = np.repeat(idx1, len(idx2))
+        b = np.tile(idx2, len(idx1))
+        x1 = x1_all[a]
+        x2 = x2_all[b]
+
+        inter = (np.all(np.abs(x1 - c2[None]) <= rad, axis=1)
+                 & np.all(np.abs(x2 - c1[None]) <= rad, axis=1))
+        keep = np.ones(len(a), dtype=bool)
+        if intersection_lcg and inter.any():
+            # the CUDA kernel advances rnd = rnd*M per intersection pair in
+            # loop order; the k-th such pair sees seed*M^k mod 2^32, which
+            # is exactly reproducible in closed form (uint64 cumprod wraps
+            # mod 2^64 and 2^32 divides 2^64)
+            n_i = int(inter.sum())
+            m_pow = np.cumprod(
+                np.full(n_i, 1103515245, dtype=np.uint64))
+            rnd = (np.uint64(seed) * m_pow) & np.uint64(0xFFFFFFFF)
+            keep[inter] = rnd.astype(np.float64) / 4294967296.0 <= 0.2
+
+        g1 = x1 @ strides
+        g2 = x2 @ strides
+        fwd = (g1 <= g2)[:, None]
+        d = np.where(fwd, x2 - x1, x1 - x2)
+        base = np.where(fwd, x1, x2)
+        # CUDA bound check allows d == ps (reads an always-zero slot)
+        in_cnt = np.all((d >= -(ps - 1)) & (d <= ps), axis=1)
+        in_read = in_cnt & np.all(d <= ps - 1, axis=1)
+
+        sel = keep & in_read
+        acc = float(cons[tuple((d[sel] + ps - 1).T)
+                         + tuple(base[sel].T)].sum()) if sel.any() else 0.0
+        fg_cnt = int((keep & in_cnt).sum())
         weights[pi] = acc / max(1, fg_cnt) if norm_graph else acc
     return weights.astype(np.float32)
 

@@ -1,0 +1,307 @@
+"""Host-side training data pipeline.
+
+Replaces the reference's gunpowder graph (experiments/.../train.py:233-335,
+575-862) with a plain numpy sampler producing fixed-shape crops for the TPU:
+
+- per-sample zarr/hdf sources (raw + multi-channel gt instances)
+- three sampling pools mixed by probability: foreground-biased,
+  overlap-biased, uniform-random (train.py:841-855)
+- augmentations: mirror/transpose (SimpleAugment), elastic (rotation +
+  control-point jitter via scipy), channel permutation, random hue,
+  intensity scale/shift, synthetic-overlap OverlayAugment
+- a background prefetch thread stands in for gp.PreCache
+
+Fixed output shapes keep the jitted train step recompile-free.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+from scipy import ndimage
+
+from ..utils import io as vio
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SampleData:
+    raw: np.ndarray          # (C, *spatial) float32, normalized
+    labels: np.ndarray       # (C_gt, *spatial) int
+    fg_mask: np.ndarray      # (*spatial) bool
+    overlap_mask: np.ndarray  # (*spatial) bool
+    loss_mask: np.ndarray | None = None  # partly-labeled data
+
+
+def load_sample(path: str, raw_key: str, gt_key: str,
+                clipmax: float | None = None) -> SampleData:
+    io = vio.open_volume(path, mode="r")
+    raw = io.read(key=raw_key).astype(np.float32)
+    labels = io.read(key=gt_key)
+    io.close()
+    if raw.ndim == labels.ndim - 1:
+        raw = raw[None]
+    if labels.ndim == raw.ndim - 1:
+        labels = labels[None]
+    if clipmax:
+        raw = np.clip(raw, 0, clipmax) / clipmax
+    elif raw.max() > 1.5:
+        raw = raw / max(raw.max(), 1e-6)
+    fg = np.any(labels > 0, axis=0)
+    overlap = np.sum(labels > 0, axis=0) > 1
+    return SampleData(raw=raw, labels=labels.astype(np.int32),
+                      fg_mask=fg, overlap_mask=overlap)
+
+
+@dataclass
+class AugmentConfig:
+    mirror: bool = True
+    transpose: bool = True
+    elastic: bool = False
+    control_point_spacing: tuple = (20, 20, 20)
+    jitter_sigma: tuple = (1.0, 1.0, 1.0)
+    rotation_min: float = -45.0
+    rotation_max: float = 45.0
+    intensity_scale: tuple = (0.9, 1.1)
+    intensity_shift: tuple = (-0.1, 0.1)
+    probability_permute: float = 0.0
+    probability_hue: float = 0.0
+    hue_max_change: float = 0.5
+    probability_overlay: float = 0.0
+
+
+@dataclass
+class SamplerConfig:
+    input_shape: tuple = (140, 140, 140)
+    output_shape: tuple = (60, 60, 60)
+    patchshape: tuple = (7, 7, 7)
+    batch_size: int = 2
+    probability_fg: float = 0.7
+    probability_overlap: float = 0.25
+    probability_random: float = 0.05
+    min_masked: float = 0.0
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    seed: int = 0
+
+
+class CropSampler:
+    """Draws augmented (raw, labels, fg, loss_mask) crops from samples."""
+
+    def __init__(self, samples: list[SampleData], cfg: SamplerConfig):
+        assert samples, "no training samples"
+        self.samples = samples
+        self.cfg = cfg
+        self.rng = np.random.RandomState(cfg.seed)
+        self.ndim = len(cfg.input_shape)
+        ps = np.asarray(cfg.patchshape)
+        # label crop needs patch-radius context around the output
+        # (gt_affinities windows index corner .. corner+ps)
+        self.label_shape = tuple(int(o + 2 * (p // 2))
+                                 for o, p in zip(cfg.output_shape, ps))
+        self._fg_coords = [np.argwhere(s.fg_mask) for s in samples]
+        self._ov_coords = [np.argwhere(s.overlap_mask) for s in samples]
+
+    def _choose_center(self, si: int) -> np.ndarray:
+        s = self.samples[si]
+        spatial = np.array(s.fg_mask.shape)
+        r = self.rng.rand()
+        p_fg = self.cfg.probability_fg
+        p_ov = self.cfg.probability_overlap
+        if r < p_fg and len(self._fg_coords[si]):
+            pool = self._fg_coords[si]
+        elif r < p_fg + p_ov and len(self._ov_coords[si]):
+            pool = self._ov_coords[si]
+        else:
+            return np.array([self.rng.randint(0, d) for d in spatial])
+        return pool[self.rng.randint(len(pool))]
+
+    def _crop_at(self, arr: np.ndarray, center: np.ndarray, shape,
+                 pad_value=0):
+        """Channel-first crop around center with constant padding."""
+        shape = np.asarray(shape)
+        start = center - shape // 2
+        stop = start + shape
+        spatial = np.array(arr.shape[1:])
+        rs = np.maximum(start, 0)
+        re = np.minimum(stop, spatial)
+        sl = (slice(None),) + tuple(slice(int(a), int(b))
+                                    for a, b in zip(rs, re))
+        out = arr[sl]
+        pad = [(0, 0)] + [(int(a - b), int(c - d))
+                          for a, b, c, d in zip(rs, start, stop, re)]
+        if any(p != (0, 0) for p in pad):
+            out = np.pad(out, pad, mode="constant", constant_values=pad_value)
+        return out
+
+    # ---- augmentations -------------------------------------------------
+
+    def _simple_augment(self, raw, labels):
+        a = self.cfg.augment
+        spatial_axes = list(range(1, 1 + self.ndim))
+        if a.mirror:
+            for ax in spatial_axes:
+                if raw.shape[ax] > 1 and self.rng.rand() < 0.5:
+                    raw = np.flip(raw, axis=ax)
+                    labels = np.flip(labels, axis=ax)
+        if a.transpose:
+            # only axes with equal extent are transposable
+            tr = [ax for ax in spatial_axes
+                  if raw.shape[ax] == raw.shape[spatial_axes[-1]]]
+            if len(tr) >= 2 and self.rng.rand() < 0.5:
+                i, j = self.rng.choice(tr, 2, replace=False)
+                order = list(range(raw.ndim))
+                order[i], order[j] = order[j], order[i]
+                raw = np.transpose(raw, order)
+                labels = np.transpose(labels, order)
+        return np.ascontiguousarray(raw), np.ascontiguousarray(labels)
+
+    def _elastic(self, raw, labels):
+        """Rotation (around the last two axes) + smooth jitter
+        (gp.ElasticAugment equivalent, host-side)."""
+        a = self.cfg.augment
+        angle = self.rng.uniform(a.rotation_min, a.rotation_max)
+        axes = (-2, -1)
+        raw = ndimage.rotate(raw, angle, axes=axes, reshape=False, order=1,
+                             mode="constant")
+        labels = ndimage.rotate(labels, angle, axes=axes, reshape=False,
+                                order=0, mode="constant")
+        if any(js > 0 for js in a.jitter_sigma):
+            spatial = raw.shape[1:]
+            grids = np.meshgrid(*[np.arange(s) for s in spatial],
+                                indexing="ij")
+            coords = []
+            for d, g in enumerate(grids):
+                n_ctrl = max(2, spatial[d] // a.control_point_spacing[
+                    min(d, len(a.control_point_spacing) - 1)] + 1)
+                ctrl = self.rng.randn(*([n_ctrl] * len(spatial))) \
+                    * a.jitter_sigma[min(d, len(a.jitter_sigma) - 1)]
+                disp = ndimage.zoom(ctrl, [s / n_ctrl for s in spatial],
+                                    order=1)
+                coords.append(g + disp)
+            for c in range(raw.shape[0]):
+                raw[c] = ndimage.map_coordinates(raw[c], coords, order=1,
+                                                 mode="constant")
+            for c in range(labels.shape[0]):
+                labels[c] = ndimage.map_coordinates(labels[c], coords,
+                                                    order=0, mode="constant")
+        return raw, labels
+
+    def _intensity(self, raw):
+        a = self.cfg.augment
+        scale = self.rng.uniform(*a.intensity_scale)
+        shift = self.rng.uniform(*a.intensity_shift)
+        return np.clip(raw * scale + shift, 0, 1)
+
+    def _hue(self, raw):
+        """RandomHue (neurolight): rotate channels by a random blend."""
+        a = self.cfg.augment
+        if raw.shape[0] < 3 or self.rng.rand() > a.probability_hue:
+            return raw
+        amount = self.rng.uniform(-a.hue_max_change, a.hue_max_change)
+        rolled = np.roll(raw[:3], 1, axis=0)
+        out = raw.copy()
+        out[:3] = np.clip((1 - abs(amount)) * raw[:3] + abs(amount) * rolled,
+                          0, 1)
+        return out
+
+    def _permute(self, raw):
+        a = self.cfg.augment
+        if raw.shape[0] < 2 or self.rng.rand() > a.probability_permute:
+            return raw
+        perm = self.rng.permutation(raw.shape[0])
+        return raw[perm]
+
+    def _overlay(self, raw, labels):
+        """OverlayAugment: blend a second crop in to synthesize overlaps
+        (train.py:276-297, neurolight)."""
+        a = self.cfg.augment
+        if self.rng.rand() > a.probability_overlay:
+            return raw, labels
+        si = self.rng.randint(len(self.samples))
+        center = self._choose_center(si)
+        raw2 = self._crop_at(self.samples[si].raw, center,
+                             np.array(raw.shape[1:]))
+        labels2 = self._crop_at(self.samples[si].labels, center,
+                                np.array(labels.shape[1:]))
+        raw = np.maximum(raw, raw2)
+        offset = int(labels.max())
+        labels2 = np.where(labels2 > 0, labels2 + offset, 0)
+        labels = np.concatenate([labels, labels2], axis=0)
+        return raw, labels
+
+    # ---- batch production ----------------------------------------------
+
+    def one_crop(self):
+        cfg = self.cfg
+        # crop at the union extent so raw and labels see identical
+        # augmentation grids, then center-crop each to its own shape
+        big = np.maximum(np.array(cfg.input_shape),
+                         np.array(self.label_shape))
+        for _ in range(20):  # Reject node equivalent
+            si = self.rng.randint(len(self.samples))
+            s = self.samples[si]
+            center = self._choose_center(si)
+            raw = self._crop_at(s.raw, center, big)
+            labels = self._crop_at(s.labels, center, big)
+            if cfg.min_masked <= 0 or \
+                    (labels > 0).any(axis=0).mean() >= cfg.min_masked:
+                break
+
+        a = cfg.augment
+        if a.elastic:
+            raw, labels = self._elastic(raw, labels)
+        raw, labels = self._simple_augment(raw, labels)
+        raw, labels = self._overlay(raw, labels)
+        raw = self._permute(raw)
+        raw = self._hue(raw)
+        raw = self._intensity(raw)
+
+        c = big // 2
+        raw = self._crop_at(raw, c, np.array(cfg.input_shape))
+        labels_out = self._crop_at(labels, c, np.array(self.label_shape))
+        return raw.astype(np.float32), labels_out
+
+    def batch(self, max_gt_channels: int = 6):
+        """One (raw, labels) batch; gt channel count is padded/truncated to a
+        fixed ``max_gt_channels`` so the jitted train step never recompiles."""
+        raws, labs = [], []
+        for _ in range(self.cfg.batch_size):
+            r, l = self.one_crop()
+            raws.append(r)
+            labs.append(l)
+        cmax = max_gt_channels
+        labs = [np.pad(l[:cmax], [(0, cmax - min(l.shape[0], cmax))]
+                       + [(0, 0)] * (l.ndim - 1)) for l in labs]
+        return np.stack(raws), np.stack(labs)
+
+
+class Prefetcher:
+    """Background thread keeping a queue of ready batches (gp.PreCache)."""
+
+    def __init__(self, sampler: CropSampler, cache_size: int = 8,
+                 max_gt_channels: int = 6):
+        self.sampler = sampler
+        self.queue: queue.Queue = queue.Queue(maxsize=cache_size)
+        self.max_gt_channels = max_gt_channels
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while not self._stop.is_set():
+            try:
+                self.queue.put(self.sampler.batch(self.max_gt_channels),
+                               timeout=1.0)
+            except queue.Full:
+                continue
+
+    def next(self):
+        return self.queue.get()
+
+    def stop(self):
+        self._stop.set()

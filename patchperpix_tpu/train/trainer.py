@@ -1,0 +1,253 @@
+"""Training loop: optax optimization, orbax checkpoints, SWA, val interleave.
+
+Reference: experiments/.../train.py train_until (gp.TorchTrainExt loop with
+AMP/SWA/checkpointing, train.py:498-572).  The train step is one jitted
+function; data arrives from the host Prefetcher with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import json
+import logging
+import os
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.losses import masked_bce_logits, masked_ce, sampled_bce, summaries
+from ..models.ppp import PPPConfig, PPPModel
+from ..ops.affinities import (gather_at, gt_affinities_dense,
+                              gt_affinities_sampled, sample_fg_corners)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainConfig:
+    max_iterations: int = 400002
+    checkpoints: int = 5000          # checkpoint interval
+    snapshots: int = 10000
+    val_log_step: int = 0
+    lr: float = 1e-4
+    optimizer: str = "Adam"
+    use_swa: bool = False
+    swa_start: int = 0
+    swa_freq: int = 1
+    output_folder: str = "."
+    log_every: int = 100
+    mask_bg_weight: float = 0.01
+    use_gt_extra: bool = False
+
+
+def checkpoint_path(folder: str, step: int, name: str = "train_net") -> str:
+    return os.path.join(folder, f"{name}_checkpoint_{step}")
+
+
+def get_latest_checkpoint(folder: str, name: str = "train_net"):
+    """Natural-sorted latest checkpoint (train_util.py:19-52)."""
+    paths = glob.glob(os.path.join(folder, f"{name}_checkpoint_*"))
+    best, best_step = None, -1
+    for p in paths:
+        m = re.search(r"checkpoint_(\d+)$", p)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = p, int(m.group(1))
+    return best, best_step
+
+
+def save_checkpoint(path: str, state: dict):
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), state, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_checkpoint(path: str, template: dict) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(os.path.abspath(path), target=template)
+
+
+def make_optimizer(cfg: TrainConfig):
+    name = cfg.optimizer.lower()
+    if name == "adam":
+        return optax.adam(cfg.lr)
+    if name == "sgd":
+        return optax.sgd(cfg.lr)
+    raise ValueError(f"unknown optimizer {cfg.optimizer}")
+
+
+def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
+                    optimizer):
+    """Returns jitted step(params, opt_state, raw, labels, rng) ->
+    (params, opt_state, metrics)."""
+    ps = mcfg.patchshape_squeezed
+    max_ni = mcfg.max_num_inst
+
+    def compute_losses(params, raw, labels, rng):
+        h1, h2 = model.apply(params, raw)
+        out_sp = h1.shape[2:]
+        ndim = len(out_sp)
+        rad = tuple(p // 2 for p in ps)
+
+        # numinst / fgbg GT from the context-padded labels, center-cropped
+        lab_sp = labels.shape[2:]
+        center_sl = (slice(None), slice(None)) + tuple(
+            slice(r, r + o) for r, o in zip(rad, out_sp))
+        labels_out = labels[center_sl]
+        ninst = jnp.sum(labels_out > 0, axis=1)
+        gt_fg = ninst == 1 if mcfg.overlapping_inst else ninst > 0
+
+        if mcfg.train_code:
+            code = jnp.moveaxis(h1, 1, -1)          # (B, *out, code)
+            corners, valid = sample_fg_corners(
+                rng, gt_fg, mcfg.num_code_samples)
+            codes = gather_at(code, corners)
+            act = {"sigmoid": jax.nn.sigmoid, "relu": jax.nn.relu,
+                   "identity": lambda v: v}[mcfg.code_activation.lower()]
+            codes = act(codes)
+            pred_patch_logits = model.apply(params, codes,
+                                            method=PPPModel.decode)
+            gt_affs = gt_affinities_sampled(labels, corners, ps)
+            gt_affs = gt_affs.reshape((-1,) + tuple(ps))
+            loss_patch = sampled_bce(pred_patch_logits, gt_affs, valid)
+            pred_affs_prob = jax.nn.sigmoid(pred_patch_logits)
+            gt_affs_metric = gt_affs
+        else:
+            gt_affs = gt_affinities_dense(labels, ps)   # (B, P, *out)
+            loss_patch = masked_bce_logits(h1, gt_affs, None,
+                                           num_channels=float(mcfg.patchsize))
+            pred_affs_prob = jax.nn.sigmoid(h1)
+            gt_affs_metric = gt_affs
+
+        if mcfg.overlapping_inst:
+            gt_ni = jnp.clip(ninst, 0, max_ni)
+            loss_fg = masked_ce(h2, gt_ni, None,
+                                use_gt_extra=tcfg.use_gt_extra)
+            pred_fg_prob = 1.0 - jax.nn.softmax(h2, axis=1)[:, 0]
+            gt_fg_metric = (ninst > 0).astype(jnp.float32)
+        else:
+            gt_fgbg = (ninst > 0).astype(h2.dtype)[:, None]
+            loss_fg = masked_bce_logits(h2, gt_fgbg, None)
+            pred_fg_prob = jax.nn.sigmoid(h2[:, 0])
+            gt_fg_metric = gt_fgbg[:, 0]
+
+        loss = loss_patch + loss_fg
+        mets = {"loss": loss, "loss_patch": loss_patch, "loss_fg": loss_fg}
+        mets.update(summaries(pred_affs_prob, gt_affs_metric,
+                              pred_fg_prob, gt_fg_metric))
+        return loss, mets
+
+    @jax.jit
+    def step(params, opt_state, raw, labels, rng):
+        (loss, mets), grads = jax.value_and_grad(
+            compute_losses, has_aux=True)(params, raw, labels, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mets
+
+    @jax.jit
+    def eval_step(params, raw, labels, rng):
+        _, mets = compute_losses(params, raw, labels, rng)
+        return mets
+
+    return step, eval_step
+
+
+def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
+                prefetcher, val_batch_fn=None, init_raw=None,
+                rng_seed: int = 42) -> dict:
+    """Run training to ``max_iterations``, resuming from the latest
+    checkpoint.  Returns the final state dict (params / opt_state / step,
+    plus swa_params when enabled)."""
+    os.makedirs(tcfg.output_folder, exist_ok=True)
+    rng = jax.random.PRNGKey(rng_seed)
+    optimizer = make_optimizer(tcfg)
+
+    if init_raw is None:
+        raw0, labels0 = prefetcher.next()
+        first_batch = (raw0, labels0)
+    else:
+        raw0 = init_raw
+        first_batch = None
+
+    rng, init_rng = jax.random.split(rng)
+    params = model.init(init_rng, jnp.asarray(raw0),
+                        method=PPPModel.full_init)
+    opt_state = optimizer.init(params)
+    state = {"params": params, "opt_state": opt_state, "step": 0}
+    if tcfg.use_swa:
+        state["swa_params"] = jax.tree.map(jnp.copy, params)
+        state["swa_n"] = 0
+
+    latest, latest_step = get_latest_checkpoint(tcfg.output_folder)
+    if latest is not None:
+        logger.info("resuming from %s", latest)
+        state = load_checkpoint(latest, state)
+        state["step"] = latest_step
+
+    step_fn, eval_fn = make_train_step(model, mcfg, tcfg, optimizer)
+    params, opt_state = state["params"], state["opt_state"]
+    step = int(state["step"])
+
+    log_path = os.path.join(tcfg.output_folder, "train_log.jsonl")
+    log_f = open(log_path, "a")
+    t0 = time.time()
+    while step < tcfg.max_iterations:
+        if first_batch is not None:
+            raw, labels = first_batch
+            first_batch = None
+        else:
+            raw, labels = prefetcher.next()
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, mets = step_fn(params, opt_state,
+                                          jnp.asarray(raw),
+                                          jnp.asarray(labels), step_rng)
+        step += 1
+
+        if step % tcfg.log_every == 0 or step == 1:
+            mets = {k: float(v) for k, v in mets.items()}
+            mets.update(step=step, wall=time.time() - t0)
+            log_f.write(json.dumps(mets) + "\n")
+            log_f.flush()
+            logger.info("step %d loss %.5f (patch %.5f fg %.5f)",
+                        step, mets["loss"], mets["loss_patch"],
+                        mets["loss_fg"])
+
+        if tcfg.val_log_step and step % tcfg.val_log_step == 0 \
+                and val_batch_fn is not None:
+            vraw, vlabels = val_batch_fn()
+            rng, vrng = jax.random.split(rng)
+            vmets = eval_fn(params, jnp.asarray(vraw),
+                            jnp.asarray(vlabels), vrng)
+            vmets = {f"val_{k}": float(v) for k, v in vmets.items()}
+            vmets["step"] = step
+            log_f.write(json.dumps(vmets) + "\n")
+            log_f.flush()
+
+        if tcfg.use_swa and step >= tcfg.swa_start \
+                and (step - tcfg.swa_start) % tcfg.swa_freq == 0:
+            n = state.get("swa_n", 0)
+            state["swa_params"] = jax.tree.map(
+                lambda a, p: a + (p - a) / (n + 1),
+                state["swa_params"], params)
+            state["swa_n"] = n + 1
+
+        if step % tcfg.checkpoints == 0 or step == tcfg.max_iterations:
+            state.update(params=params, opt_state=opt_state, step=step)
+            path = checkpoint_path(tcfg.output_folder, step)
+            save_checkpoint(path, state)
+            logger.info("saved checkpoint %s", path)
+
+    log_f.close()
+    state.update(params=params, opt_state=opt_state, step=step)
+    return state

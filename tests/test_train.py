@@ -1,0 +1,166 @@
+"""Training pipeline tests: sampler, augments, train step, checkpoint resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from patchperpix_tpu.models import PPPConfig, PPPModel
+from patchperpix_tpu.train import (AugmentConfig, CropSampler, Prefetcher,
+                                   SampleData, SamplerConfig, TrainConfig,
+                                   get_latest_checkpoint, make_train_step,
+                                   save_checkpoint, load_checkpoint,
+                                   train_until)
+from patchperpix_tpu.train.trainer import make_optimizer
+
+
+def _toy_sample(seed=0, size=40):
+    rng = np.random.RandomState(seed)
+    labels = np.zeros((2, size, size), dtype=np.int32)
+    labels[0, 5:18, 5:18] = 1
+    labels[1, 14:28, 14:28] = 2
+    raw = (labels.sum(0) > 0).astype(np.float32)[None]
+    raw += 0.05 * rng.randn(1, size, size).astype(np.float32)
+    raw = np.clip(raw, 0, 1)
+    fg = np.any(labels > 0, axis=0)
+    ov = np.sum(labels > 0, axis=0) > 1
+    return SampleData(raw=raw, labels=labels, fg_mask=fg, overlap_mask=ov)
+
+
+def _sampler(train_code=False, **kw):
+    cfg = SamplerConfig(
+        input_shape=(32, 32), output_shape=(16, 16), patchshape=(5, 5),
+        batch_size=2,
+        augment=AugmentConfig(probability_permute=0.0, probability_hue=0.0,
+                              probability_overlay=0.3, elastic=False),
+        **kw)
+    return CropSampler([_toy_sample(0), _toy_sample(1)], cfg)
+
+
+def test_sampler_shapes_and_determinism():
+    s = _sampler(seed=7)
+    raw, labels = s.batch(max_gt_channels=4)
+    assert raw.shape == (2, 1, 32, 32)
+    assert labels.shape == (2, 4, 20, 20)  # 16 + 2*2 patch context
+    s2 = _sampler(seed=7)
+    raw2, labels2 = s2.batch(max_gt_channels=4)
+    np.testing.assert_array_equal(raw, raw2)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_sampler_fg_bias():
+    s = _sampler(seed=3, probability_fg=1.0, probability_overlap=0.0,
+                 probability_random=0.0)
+    # fg-biased crops should nearly always contain foreground
+    hits = 0
+    for _ in range(10):
+        raw, labels = s.batch()
+        hits += int((labels > 0).any())
+    assert hits == 10
+
+
+def test_elastic_augment_runs():
+    cfg = SamplerConfig(input_shape=(32, 32), output_shape=(16, 16),
+                        patchshape=(5, 5), batch_size=1,
+                        augment=AugmentConfig(elastic=True,
+                                              jitter_sigma=(1.0, 1.0),
+                                              control_point_spacing=(8, 8)))
+    s = CropSampler([_toy_sample()], cfg)
+    raw, labels = s.batch()
+    assert raw.shape == (1, 1, 32, 32)
+    assert np.isfinite(raw).all()
+
+
+def _model_cfg(train_code=False):
+    return PPPConfig(
+        patchshape=(1, 5, 5), num_channels=1, num_fmaps=4,
+        fmap_inc_factors=(2,), fmap_dec_factors=(1.0,),
+        downsample_factors=((1, 2, 2),),
+        train_code=train_code, code_units=8,
+        ae_code_fmaps=2, ae_num_fmaps=(4, 8),
+        ae_downsample_factors=((2, 2), (2, 2)),
+        num_code_samples=32,
+        overlapping_inst=False, padding="same")
+
+
+def _sampler_same_padding(**kw):
+    # "same"-padding models: network output shape == input shape
+    cfg = SamplerConfig(
+        input_shape=(32, 32), output_shape=(32, 32), patchshape=(5, 5),
+        batch_size=2,
+        augment=AugmentConfig(probability_overlay=0.3, elastic=False), **kw)
+    return CropSampler([_toy_sample(0), _toy_sample(1)], cfg)
+
+
+@pytest.mark.parametrize("train_code", [False, True])
+def test_train_step_reduces_loss(train_code):
+    mcfg = _model_cfg(train_code)
+    model = PPPModel(mcfg)
+    tcfg = TrainConfig(lr=1e-3)
+    optimizer = make_optimizer(tcfg)
+    s = _sampler_same_padding()
+    raw, labels = s.batch(max_gt_channels=4)
+    raw_j, labels_j = jnp.asarray(raw), jnp.asarray(labels)
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, raw_j, method=PPPModel.full_init)
+    opt_state = optimizer.init(params)
+    step_fn, eval_fn = make_train_step(model, mcfg, tcfg, optimizer)
+
+    first = None
+    for i in range(30):
+        rng, sr = jax.random.split(rng)
+        params, opt_state, mets = step_fn(params, opt_state, raw_j,
+                                          labels_j, sr)
+        if first is None:
+            first = float(mets["loss"])
+    last = float(mets["loss"])
+    assert np.isfinite(last)
+    assert last < first
+
+
+def test_train_until_checkpoint_resume(tmp_path):
+    mcfg = _model_cfg(False)
+    model = PPPModel(mcfg)
+    s = _sampler_same_padding()
+    pf = Prefetcher(s, cache_size=4, max_gt_channels=4)
+    tcfg = TrainConfig(max_iterations=4, checkpoints=2, lr=1e-3,
+                       output_folder=str(tmp_path), log_every=1)
+    state = train_until(model, mcfg, tcfg, pf)
+    assert state["step"] == 4
+    path, step = get_latest_checkpoint(str(tmp_path))
+    assert step == 4
+
+    # resume: raising max_iterations continues from step 4
+    tcfg2 = TrainConfig(max_iterations=6, checkpoints=2, lr=1e-3,
+                        output_folder=str(tmp_path), log_every=1)
+    state2 = train_until(model, mcfg, tcfg2, pf)
+    assert state2["step"] == 6
+    pf.stop()
+
+    # saved params round-trip
+    template = {"params": state2["params"],
+                "opt_state": state2["opt_state"], "step": 0}
+    path, _ = get_latest_checkpoint(str(tmp_path))
+    restored = load_checkpoint(path, template)
+    chex_assert_equal = np.testing.assert_allclose
+    leaf0 = jax.tree.leaves(state2["params"])[0]
+    leaf0_r = jax.tree.leaves(restored["params"])[0]
+    chex_assert_equal(np.asarray(leaf0), np.asarray(leaf0_r))
+
+
+def test_swa_averaging(tmp_path):
+    mcfg = _model_cfg(False)
+    model = PPPModel(mcfg)
+    s = _sampler_same_padding()
+    pf = Prefetcher(s, cache_size=2, max_gt_channels=4)
+    tcfg = TrainConfig(max_iterations=3, checkpoints=3, lr=1e-2,
+                       output_folder=str(tmp_path), use_swa=True,
+                       swa_start=1, swa_freq=1, log_every=10)
+    state = train_until(model, mcfg, tcfg, pf)
+    pf.stop()
+    assert state["swa_n"] >= 2
+    # swa params differ from the final params (they average history)
+    l_final = jax.tree.leaves(state["params"])[0]
+    l_swa = jax.tree.leaves(state["swa_params"])[0]
+    assert not np.allclose(np.asarray(l_final), np.asarray(l_swa))
