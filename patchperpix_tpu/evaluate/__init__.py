@@ -1,0 +1,3 @@
+from .instance_metrics import (evaluate_file, evaluate_labels,
+                               summarize_metric_dict)  # noqa: F401
+from .prediction import evaluate_fg, evaluate_numinst, evaluate_patch  # noqa: F401

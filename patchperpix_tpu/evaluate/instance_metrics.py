@@ -1,0 +1,235 @@
+"""Instance segmentation metrics.
+
+Re-implements the surface of the external ``evaluate-instance-segmentation``
+package the reference depends on (run_ppp.py:44, consumed keys
+run_ppp.py:1609-1654, 1922-1931): per-threshold confusion matrices with
+IoU or clDice localization, greedy or hungarian assignment, false
+split/merge counts, skeleton coverage, and the FlyLight combined score
+avg_f1_cov_score = (avFscore + avg_gt_skel_coverage) / 2.
+
+Result dict layout (dotted-path addressable via config.get_by_path):
+  general.{Num GT, Num Pred, avg_gt_skel_coverage, avg_f1_cov_score}
+  confusion_matrix.avFscore
+  confusion_matrix.th_0_5.{AP, AP_TP, AP_FP, AP_FN, precision, recall,
+                           fscore, false_split, false_merge,
+                           avg_tp_skel_coverage}
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..utils.skeleton import skeletonize
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _instance_masks(labels: np.ndarray, keep_shape: bool = False):
+    """List of (id, boolean mask) from a flat label volume or a
+    one-instance-per-channel stack (keep_gt_shape semantics)."""
+    masks = []
+    if labels.ndim >= 2 and keep_shape and labels.shape[0] > 1 \
+            and len(np.unique(labels)) <= labels.shape[0] + 1:
+        # channel stack: one instance per channel
+        for c in range(labels.shape[0]):
+            m = labels[c] > 0
+            if m.any():
+                ids = np.unique(labels[c][m])
+                masks.append((int(ids[0]), m))
+        return masks
+    flat = labels if labels.ndim <= 3 else np.max(labels, axis=0)
+    for i in np.unique(flat[flat > 0]):
+        masks.append((int(i), flat == i))
+    return masks
+
+
+def iou_matrix(gt_masks, pred_masks) -> np.ndarray:
+    n_gt, n_pred = len(gt_masks), len(pred_masks)
+    out = np.zeros((n_gt, n_pred), dtype=np.float64)
+    for gi, (_, g) in enumerate(gt_masks):
+        gs = int(g.sum())
+        for pi, (_, p) in enumerate(pred_masks):
+            inter = int(np.logical_and(g, p).sum())
+            if inter == 0:
+                continue
+            out[gi, pi] = inter / (gs + int(p.sum()) - inter)
+    return out
+
+
+def cldice_matrix(gt_masks, pred_masks):
+    """clDice localization: harmonic mean of topology precision/sensitivity
+    on skeletons.  Also returns per-(gt, pred) gt-skeleton recall (the
+    skeleton-coverage building block)."""
+    gt_skels = [skeletonize(g) > 0 for _, g in gt_masks]
+    pred_skels = [skeletonize(p) > 0 for _, p in pred_masks]
+    n_gt, n_pred = len(gt_masks), len(pred_masks)
+    mat = np.zeros((n_gt, n_pred), dtype=np.float64)
+    gt_cov = np.zeros((n_gt, n_pred), dtype=np.float64)
+    for gi, (_, g) in enumerate(gt_masks):
+        gsk = gt_skels[gi]
+        gsk_n = max(int(gsk.sum()), 1)
+        for pi, (_, p) in enumerate(pred_masks):
+            psk = pred_skels[pi]
+            psk_n = max(int(psk.sum()), 1)
+            tprec = int(np.logical_and(psk, g).sum()) / psk_n
+            tsens = int(np.logical_and(gsk, p).sum()) / gsk_n
+            gt_cov[gi, pi] = tsens
+            if tprec + tsens > 0:
+                mat[gi, pi] = 2 * tprec * tsens / (tprec + tsens)
+    return mat, gt_cov
+
+
+def assign(scores: np.ndarray, threshold: float, strategy: str):
+    """Match gt rows to pred columns; returns list of (gi, pi, score)."""
+    if scores.size == 0:
+        return []
+    if strategy == "hungarian":
+        from scipy.optimize import linear_sum_assignment
+
+        ri, ci = linear_sum_assignment(-scores)
+        return [(int(g), int(p), scores[g, p])
+                for g, p in zip(ri, ci) if scores[g, p] > threshold]
+    if strategy == "greedy":
+        order = np.dstack(np.unravel_index(
+            np.argsort(-scores, axis=None), scores.shape))[0]
+        used_g, used_p, out = set(), set(), []
+        for g, p in order:
+            s = scores[g, p]
+            if s <= threshold:
+                break
+            if g in used_g or p in used_p:
+                continue
+            used_g.add(int(g))
+            used_p.add(int(p))
+            out.append((int(g), int(p), float(s)))
+        return out
+    raise ValueError(f"unknown assignment strategy {strategy}")
+
+
+def evaluate_labels(
+    pred_labels: np.ndarray,
+    gt_labels: np.ndarray,
+    localization_criterion: str = "iou",
+    assignment_strategy: str = "hungarian",
+    thresholds=DEFAULT_THRESHOLDS,
+    remove_small_components: int = 0,
+    keep_gt_shape: bool = False,
+    add_general_metrics=("avg_gt_skel_coverage", "avg_f1_cov_score"),
+    add_multi_thresh_metrics=("avg_tp_skel_coverage",),
+) -> dict:
+    """Full metric dict for one sample."""
+    from ..utils.postprocess import remove_small_components as rm_small
+
+    if remove_small_components:
+        pred_labels = rm_small(np.asarray(pred_labels),
+                               remove_small_components)
+    gt_masks = _instance_masks(np.asarray(gt_labels), keep_shape=keep_gt_shape)
+    pred_masks = _instance_masks(np.asarray(pred_labels))
+
+    want_skel = (localization_criterion == "cldice"
+                 or "avg_gt_skel_coverage" in (add_general_metrics or ())
+                 or "avg_tp_skel_coverage" in (add_multi_thresh_metrics or ()))
+    gt_cov = None
+    if localization_criterion == "iou":
+        scores = iou_matrix(gt_masks, pred_masks)
+        if want_skel:
+            _, gt_cov = cldice_matrix(gt_masks, pred_masks)
+    elif localization_criterion == "cldice":
+        scores, gt_cov = cldice_matrix(gt_masks, pred_masks)
+    else:
+        raise ValueError(localization_criterion)
+
+    n_gt, n_pred = len(gt_masks), len(pred_masks)
+    result = {"general": {"Num GT": n_gt, "Num Pred": n_pred},
+              "confusion_matrix": {}}
+
+    fscores = []
+    for th in thresholds:
+        matches = assign(scores, th, assignment_strategy)
+        tp = len(matches)
+        fp = n_pred - tp
+        fn = n_gt - tp
+        precision = tp / max(n_pred, 1)
+        recall = tp / max(n_gt, 1)
+        fscore = (2 * precision * recall / (precision + recall)
+                  if precision + recall > 0 else 0.0)
+        ap = tp / max(tp + fp + fn, 1)
+        # false split: extra preds overlapping a gt; false merge: extra gts
+        # overlapped by one pred (counted above a fixed overlap floor)
+        overl = scores > max(0.1, 0.0)
+        false_split = int(np.maximum(overl.sum(axis=1) - 1, 0).sum())
+        false_merge = int(np.maximum(overl.sum(axis=0) - 1, 0).sum())
+        key = "th_" + str(round(th, 2)).replace(".", "_")
+        entry = {
+            "AP": ap, "AP_TP": tp, "AP_FP": fp, "AP_FN": fn,
+            "precision": precision, "recall": recall, "fscore": fscore,
+            "false_split": false_split, "false_merge": false_merge,
+        }
+        if gt_cov is not None and \
+                "avg_tp_skel_coverage" in (add_multi_thresh_metrics or ()):
+            tp_cov = [gt_cov[g].max() for g, _p, _s in matches] or [0.0]
+            entry["avg_tp_skel_coverage"] = float(np.mean(tp_cov)) \
+                if matches else 0.0
+        result["confusion_matrix"][key] = entry
+        fscores.append(fscore)
+
+    result["confusion_matrix"]["avFscore"] = float(np.mean(fscores)) \
+        if fscores else 0.0
+
+    if gt_cov is not None and \
+            "avg_gt_skel_coverage" in (add_general_metrics or ()):
+        # per gt: skeleton coverage by the union of predictions ~ max over
+        # preds of per-pred coverage summed where disjoint; use sum capped
+        per_gt = np.minimum(gt_cov.sum(axis=1), 1.0) if n_pred else \
+            np.zeros(n_gt)
+        cov = float(np.mean(per_gt)) if n_gt else 0.0
+        result["general"]["avg_gt_skel_coverage"] = cov
+        if "avg_f1_cov_score" in (add_general_metrics or ()):
+            result["general"]["avg_f1_cov_score"] = \
+                0.5 * result["confusion_matrix"]["avFscore"] + 0.5 * cov
+    return result
+
+
+def evaluate_file(
+    res_file: str,
+    gt_file: str,
+    res_key: str = "vote_instances",
+    gt_key: str = "volumes/gt_instances",
+    **kwargs,
+) -> dict:
+    """File-level entry matching the external package's call signature
+    (run_ppp.py:1239-1262)."""
+    from ..utils import io as vio
+
+    rio = vio.open_volume(res_file, mode="r")
+    pred = rio.read(key=res_key)
+    rio.close()
+    gio = vio.open_volume(gt_file, mode="r")
+    gt = gio.read(key=gt_key)
+    gio.close()
+    known = {"localization_criterion", "assignment_strategy", "thresholds",
+             "remove_small_components", "keep_gt_shape",
+             "add_general_metrics", "add_multi_thresh_metrics"}
+    kw = {k: v for k, v in kwargs.items() if k in known}
+    return evaluate_labels(pred, gt, **kw)
+
+
+def summarize_metric_dict(metric_dicts: dict, summary_keys,
+                          out_csv: str | None = None) -> list[list]:
+    """Rows of [sample, *metrics] for the configured dotted summary keys
+    (run_ppp.py:1516-1529)."""
+    from ..config import get_by_path
+
+    rows = [["sample"] + list(summary_keys)]
+    for sample, md in metric_dicts.items():
+        rows.append([sample] + [get_by_path(md, k) for k in summary_keys])
+    if out_csv:
+        import csv
+
+        with open(out_csv, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+    return rows
