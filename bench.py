@@ -21,21 +21,14 @@ import numpy as np
 
 
 def build_inputs(size=None, patchshape=(7, 7, 7)):
-    import jax.numpy as jnp
-
-    from patchperpix_tpu.ops.affinities import gt_affinities_dense
+    from patchperpix_tpu.ops.synthetic import labels_to_affinities_multi
     from patchperpix_tpu.utils import io as vio
 
     io = vio.IoZarr("data/JRC_SS05008-20160318_24_B2_crop.zarr")
     labels = io.read(key="volumes/gt_instances").astype(np.int32)
     if size is not None:
         labels = labels[:, :size, :size, :size]
-    rad = [p // 2 for p in patchshape]
-    labels_pad = np.pad(labels, [(0, 0)] + [(r, r) for r in rad])
-    affs = np.asarray(gt_affinities_dense(
-        jnp.asarray(labels_pad[None]), tuple(patchshape)))[0]
-    # soften to probability-like values (assembly thresholds at 0.5)
-    affs = np.where(affs > 0.5, 0.95, 0.05).astype(np.float32)
+    affs = labels_to_affinities_multi(labels, patchshape)
     numinst = np.sum(labels > 0, axis=0).astype(np.uint8)
     fg = numinst > 0
     return affs, fg, numinst

@@ -29,3 +29,29 @@ ECCV 2020) as an idiomatic JAX/XLA/Pallas framework designed for TPU:
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache (opt out with PPP_TPU_NO_CACHE=1).
+
+    TPU compiles of the consensus/rank programs take tens of seconds; the
+    cache makes every process after the first start instantly."""
+    import os
+
+    if os.environ.get("PPP_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "PPP_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "patchperpix_tpu", "jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best effort
+        pass
+
+
+_setup_compilation_cache()

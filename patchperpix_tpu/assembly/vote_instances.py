@@ -21,10 +21,13 @@ from dataclasses import dataclass, field, fields
 
 import numpy as np
 
+import time
+
 from ..ops import np_reference as ref
 from ..ops.consensus_jax import (ConsensusConfig, consensus_array,
                                  patch_graph_weights, rank_scores,
                                  symmetrize_consensus)
+from ..ops.cover import greedy_cover_device, thin_out_cover_device
 from ..utils import io as vio
 from ..utils.postprocess import remove_small_components
 from ..utils.skeleton import skeletonize
@@ -65,6 +68,11 @@ class VoteInstancesParams:
     max_total_patch_distance_in_ps_multiples: float = 2.0
     score_threshold: float | None = None
     remove_small_comps: int = 0
+    ignore_small_comps: int = 0
+    chunksize: tuple = (92, 92, 92)
+    only_bb: bool = True
+    num_parallel_blocks: int = 1
+    num_parallel_samples: int = 1
     crop_to_foreground: bool = True
     aff_key: str = "volumes/pred_affs"
     fg_key: str | None = None
@@ -171,6 +179,7 @@ def to_instance_seg(
 
     ccfg = params.consensus_config()
     use_jax = params.engine == "jax"
+    _t_stage = time.perf_counter()
 
     # (1) consensus
     overlap_arg = overlap_mask if params.overlapping_inst else None
@@ -184,8 +193,15 @@ def to_instance_seg(
             norm_aff=params.consensus_norm_aff, overlap=overlap_arg)
         cons = cons_np
 
-    # (2) patch ranking
-    if use_jax:
+    logger.info("stage consensus: %.2fs", time.perf_counter() - _t_stage)
+    _t_stage = time.perf_counter()
+
+    # (2) patch ranking (skippable when selected patches are injected,
+    # e.g. by blockwise stitching)
+    if params.skipRanking and (params.selected_patches is not None
+                               or params.selected_patch_pairs is not None):
+        scores = np.zeros(vol_shape, dtype=np.float32)
+    elif use_jax:
         scores = np.asarray(rank_scores(pred_affs, cons, ccfg,
                                         overlap=overlap_arg))
     else:
@@ -194,6 +210,7 @@ def to_instance_seg(
             bg_mode=params.bg_mode, norm_rank=params.rank_norm_patch_score,
             int_counter=params.rank_int_counter, overlap=overlap_arg)
 
+    logger.info("stage rank: %.2fs", time.perf_counter() - _t_stage)
     interior = np.zeros(vol_shape, dtype=bool)
     interior[radslice] = True
     all_patches = [tuple(c) for c in np.argwhere(foreground & interior)]
@@ -204,22 +221,42 @@ def to_instance_seg(
         return _maybe_unpad(instances, foreground, rad, params)
     ranked = ref.rank_patch_list(all_patches, scores)
 
+    _t_stage = time.perf_counter()
+
     # (3) greedy foreground cover  (4) thin-out set cover
     if params.selected_patches is not None:
         selected = [(np.asarray(c), 1.0) for c in params.selected_patches]
     elif params.skipSelection:
         selected = ranked
     else:
-        selected, _ = ref.foreground_cover_reference(
-            pred_affs, mask_to_cover, ranked, ps,
-            fc_threshold=params.fc_threshold,
-            overlap=overlap_mask,
-            sparse_data=params.select_patches_for_sparse_data,
-            score_threshold=params.score_threshold)
+        if use_jax and params.score_threshold is None:
+            selected, _ = greedy_cover_device(
+                pred_affs, mask_to_cover, ranked, ps,
+                fc_threshold=params.fc_threshold,
+                overlap=overlap_mask,
+                sparse_data=params.select_patches_for_sparse_data)
+        else:
+            selected, _ = ref.foreground_cover_reference(
+                pred_affs, mask_to_cover, ranked, ps,
+                fc_threshold=params.fc_threshold,
+                overlap=overlap_mask,
+                sparse_data=params.select_patches_for_sparse_data,
+                score_threshold=params.score_threshold)
+        logger.info("stage cover: %.2fs (%d selected)",
+                    time.perf_counter() - _t_stage, len(selected))
+        _t_stage = time.perf_counter()
         if not params.skipThinCover and len(selected) > 0:
-            selected = ref.thin_out_cover_reference(
-                pred_affs, mask_to_cover, selected, ps,
-                fc_threshold=params.fc_threshold)
+            if use_jax:
+                selected = thin_out_cover_device(
+                    pred_affs, mask_to_cover, selected, ps,
+                    fc_threshold=params.fc_threshold)
+            else:
+                selected = ref.thin_out_cover_reference(
+                    pred_affs, mask_to_cover, selected, ps,
+                    fc_threshold=params.fc_threshold)
+            logger.info("stage thin-cover: %.2fs (%d kept)",
+                        time.perf_counter() - _t_stage, len(selected))
+    _t_stage = time.perf_counter()
 
     # (5) patch pairs + patch graph
     if params.selected_patch_pairs is not None:
@@ -229,6 +266,9 @@ def to_instance_seg(
             selected, ps,
             max_ps_dist=params.max_total_patch_distance_in_ps_multiples,
             include_singleton=params.includeSinglePatchCCS)
+    logger.info("stage pairs: %.2fs (%s pairs)", time.perf_counter() - _t_stage,
+                0 if pairs is None else len(pairs))
+    _t_stage = time.perf_counter()
     if pairs is None or len(pairs) == 0:
         logger.info("no patch pairs, returning")
         if params.return_intermediates:
@@ -246,6 +286,8 @@ def to_instance_seg(
             norm_graph=params.patch_graph_norm_aff,
             intersection_lcg=params.removeIntersection)
 
+    logger.info("stage graph-weights: %.2fs", time.perf_counter() - _t_stage)
+    _t_stage = time.perf_counter()
     if params.return_intermediates:
         return pairs, weights
 
@@ -255,6 +297,8 @@ def to_instance_seg(
         comps, pred_affs, ps, vol_shape,
         patch_threshold=params.patch_threshold,
         one_instance_per_channel=params.one_instance_per_channel)
+    logger.info("stage labeling: %.2fs (%d components)",
+                time.perf_counter() - _t_stage, len(comps))
     return _maybe_unpad(instances, foreground, rad, params)
 
 

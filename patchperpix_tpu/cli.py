@@ -1,0 +1,616 @@
+"""Experiment orchestrator CLI.
+
+Reference: experiments/run_ppp.py (2,297 LoC) — task dispatch over
+``mknet train validate_checkpoints validate predict decode label
+postprocess evaluate cross_validate visualize cleanup``, timestamped
+experiment folders, layered TOML config with CLI overrides and provenance
+write-back, per-stage wall-time logging, skip-if-exists resume.
+
+Usage:
+  python -m patchperpix_tpu.cli --config cfg.toml --root exps -d train
+  python -m patchperpix_tpu.cli --config cfg.toml --root exps -id run1 \
+      -d predict decode label evaluate --checkpoint 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import functools
+import glob
+import json
+import logging
+import os
+import shutil
+import time
+from datetime import datetime
+
+import numpy as np
+
+from . import config as cfglib
+from .assembly import VoteInstancesParams, do_all
+from .models import PPPConfig, PPPModel
+from .utils import io as vio
+
+logger = logging.getLogger(__name__)
+
+
+def time_func(fn):
+    """Per-stage wall-time logging (run_ppp.py:94-102)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        t0 = time.time()
+        out = fn(*args, **kwargs)
+        logger.info("TIME %s: %.1f s", fn.__name__, time.time() - t0)
+        return out
+
+    return wrapper
+
+
+def get_arguments(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", action="append", required=True,
+                   help="TOML config file(s), later override earlier")
+    p.add_argument("-d", "--do", nargs="+", default=[],
+                   choices=["all", "mknet", "train", "validate_checkpoints",
+                            "validate", "predict", "decode", "label",
+                            "postprocess", "evaluate", "cross_validate",
+                            "visualize", "cleanup"])
+    p.add_argument("--root", default="experiments_out")
+    p.add_argument("-id", "--expid", default=None,
+                   help="existing experiment id to continue")
+    p.add_argument("--checkpoint", type=int, default=None)
+    p.add_argument("--test-checkpoint", type=int, default=None)
+    p.add_argument("--sample", default=None, help="restrict to one sample")
+    p.add_argument("--mode", default="test", choices=["train", "val", "test"])
+    p.add_argument("--train-data", default=None)
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--test-data", default=None)
+    p.add_argument("--debug_args", action="store_true",
+                   help="clamp iterations/workers for smoke runs")
+    p.add_argument("--run_from_exp", action="store_true")
+    p.add_argument("--validate_on_train", action="store_true")
+    p.add_argument("--param_set", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def backup_and_copy_file(src, dst_dir):
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, os.path.basename(src))
+    if os.path.exists(dst):
+        ts = datetime.now().strftime("%y%m%d_%H%M%S")
+        shutil.copy2(dst, dst + "_backup" + ts)
+    shutil.copy2(src, dst)
+
+
+def create_folders(root: str, expid: str | None) -> dict:
+    """Timestamped run dir + per-stage subdirs (run_ppp.py:270-330)."""
+    if expid is None:
+        expid = datetime.now().strftime("%y%m%d_%H%M%S")
+    base = os.path.join(root, expid)
+    paths = {"base": base, "expid": expid,
+             "train": os.path.join(base, "train"),
+             "backups": os.path.join(base, "backups")}
+    for mode in ("val", "test"):
+        paths[f"{mode}_processed"] = os.path.join(base, mode, "processed")
+        paths[f"{mode}_instanced"] = os.path.join(base, mode, "instanced")
+        paths[f"{mode}_evaluated"] = os.path.join(base, mode, "evaluated")
+    for p in paths.values():
+        if p != expid and not p.endswith(expid):
+            os.makedirs(p, exist_ok=True)
+    os.makedirs(base, exist_ok=True)
+    return paths
+
+
+def setup_logging(base: str, level: str = "INFO"):
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=[logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(base, "run.log"))],
+        force=True)
+
+
+def list_samples(data_dir: str, input_format: str = "zarr") -> list[str]:
+    files = sorted(glob.glob(os.path.join(data_dir, f"*.{input_format}")))
+    return [os.path.splitext(os.path.basename(f))[0] for f in files]
+
+
+def get_checkpoint_list(train_folder: str) -> list[int]:
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(train_folder, "train_net_checkpoint_*")):
+        m = re.search(r"checkpoint_(\d+)$", p)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _resolve_checkpoint(args, config, paths) -> int:
+    if args.checkpoint:
+        return args.checkpoint
+    cps = get_checkpoint_list(paths["train"])
+    if not cps:
+        raise RuntimeError("no checkpoints found; run train first")
+    return cps[-1]
+
+
+def _build_model(config) -> tuple[PPPModel, PPPConfig]:
+    mcfg = PPPConfig.from_config({**config.get("model", {}),
+                                  "num_channels":
+                                  config.get("data", {}).get(
+                                      "num_channels", 1)})
+    return PPPModel(mcfg), mcfg
+
+
+def _load_params(model, mcfg, paths, step, config, use_swa=False):
+    from .train.trainer import checkpoint_path, load_checkpoint
+
+    state = load_checkpoint(checkpoint_path(paths["train"], step))
+    return state["swa_params" if use_swa else "params"]
+
+
+def _train_shapes(config, mcfg):
+    m = config.get("model", {})
+    pad = m.get("train_padding", "valid")
+    if pad == "valid":
+        in_sp = tuple(m.get("train_input_shape_valid", (140, 140, 140)))
+    else:
+        in_sp = tuple(m.get("train_input_shape_same", (104, 104, 104)))
+    return in_sp, pad
+
+
+def _test_shapes(config, mcfg):
+    m = config.get("model", {})
+    pad = m.get("val_padding", "valid")
+    if pad == "valid":
+        in_sp = tuple(m.get("test_input_shape_valid", (156, 156, 156)))
+    else:
+        in_sp = tuple(m.get("test_input_shape_same", (104, 104, 104)))
+    return in_sp, pad
+
+
+@time_func
+def mknet(args, config, paths):
+    """Compute + persist net input/output shapes (replaces the TF1 graph
+    builder and the torch zero-probe, run_ppp.py:376-415)."""
+    from .models.unet import valid_output_shape
+
+    model, mcfg = _build_model(config)
+    for name, (in_sp, pad) in (("train_net", _train_shapes(config, mcfg)),
+                               ("test_net", _test_shapes(config, mcfg))):
+        if pad == "valid":
+            unet = model.cfg and None
+            # compute via eval_shape on the real model
+            import jax
+            import jax.numpy as jnp
+
+            raw = jnp.zeros((1, mcfg.num_channels) + in_sp, jnp.float32)
+            shapes = jax.eval_shape(
+                lambda r: PPPModel(mcfg).init_with_output(
+                    jax.random.PRNGKey(0), r)[0], raw)
+            out_sp = tuple(shapes[0].shape[2:])
+        else:
+            out_sp = in_sp
+        net_config = {"input_shape": list(in_sp),
+                      "output_shape": list(out_sp)}
+        path = os.path.join(paths["base"], name + "_config.json")
+        with open(path, "w") as f:
+            json.dump(net_config, f)
+        logger.info("%s: input %s output %s", name, in_sp, out_sp)
+    return paths["base"]
+
+
+def _net_config(paths, name):
+    with open(os.path.join(paths["base"], name + "_config.json")) as f:
+        return json.load(f)
+
+
+@time_func
+def train(args, config, paths):
+    from .train import (AugmentConfig, CropSampler, Prefetcher,
+                        SamplerConfig, TrainConfig, load_sample,
+                        train_until)
+
+    data = config.get("data", {})
+    tr = config.get("training", {})
+    train_dir = args.train_data or data.get("train_data")
+    samples = [load_sample(os.path.join(
+        train_dir, s + "." + data.get("input_format", "zarr")),
+        data.get("raw_key", "volumes/raw"),
+        data.get("gt_key", "volumes/gt_instances"),
+        clipmax=config.get("preprocessing", {}).get("clipmax"))
+        for s in list_samples(train_dir, data.get("input_format", "zarr"))]
+
+    model, mcfg = _build_model(config)
+    if not os.path.exists(os.path.join(paths["base"],
+                                       "train_net_config.json")):
+        mknet(args, config, paths)
+    nc = _net_config(paths, "train_net")
+
+    aug = config.get("training", {}).get("augmentation", {})
+    acfg = AugmentConfig(
+        elastic="elastic" in aug,
+        control_point_spacing=tuple(aug.get("elastic", {}).get(
+            "control_point_spacing", (20, 20, 20))),
+        jitter_sigma=tuple(aug.get("elastic", {}).get(
+            "jitter_sigma", (1, 1, 1))),
+        rotation_min=aug.get("elastic", {}).get("rotation_min", -45),
+        rotation_max=aug.get("elastic", {}).get("rotation_max", 45),
+        intensity_scale=tuple(aug.get("intensity", {}).get(
+            "scale", (0.9, 1.1))),
+        intensity_shift=tuple(aug.get("intensity", {}).get(
+            "shift", (-0.1, 0.1))),
+        probability_permute=tr.get("probability_permute", 0.0),
+        probability_hue=tr.get("probability_hue", 0.0),
+        hue_max_change=tr.get("hue_max_change", 0.5),
+        probability_overlay=aug.get("overlay", {}).get(
+            "probability_overlay", 0.0))
+    sampling = tr.get("sampling", {})
+    scfg = SamplerConfig(
+        input_shape=tuple(nc["input_shape"]),
+        output_shape=tuple(nc["output_shape"]),
+        patchshape=tuple(p for p in config["model"]["patchshape"] if p > 1),
+        batch_size=tr.get("batch_size", 2),
+        probability_fg=sampling.get("probability_fg", 0.7),
+        probability_overlap=sampling.get("probability_overlap", 0.25),
+        probability_random=sampling.get("probability_random", 0.05),
+        min_masked=sampling.get("min_masked", 0.0),
+        augment=acfg)
+    sampler = CropSampler(samples, scfg)
+    pf = Prefetcher(sampler, cache_size=tr.get("cache_size", 8))
+
+    max_iter = 10 if args.debug_args else tr.get("max_iterations", 400002)
+    tcfg = TrainConfig(
+        max_iterations=max_iter,
+        checkpoints=tr.get("checkpoints", 5000),
+        val_log_step=tr.get("val_log_step", 0),
+        lr=config.get("optimizer", {}).get("optimizer", {}).get("lr", 1e-4),
+        optimizer=config.get("optimizer", {}).get("optimizer", {}).get(
+            "optimizer", "Adam"),
+        output_folder=paths["train"],
+        use_gt_extra=tr.get("use_gt_extra", False))
+    state = train_until(model, mcfg, tcfg, pf)
+    pf.stop()
+    return state["step"]
+
+
+def _data_dir_for_mode(args, config, mode):
+    data = config.get("data", {})
+    return {"train": args.train_data or data.get("train_data"),
+            "val": args.val_data or data.get("val_data"),
+            "test": args.test_data or data.get("test_data")}[mode]
+
+
+@time_func
+def predict(args, config, paths, mode=None, checkpoint=None):
+    """Per-sample sliding-window prediction with skip-if-exists
+    (run_ppp.py:625-679)."""
+    from .infer import predict_sample_to_zarr
+    from .train.data import load_sample
+
+    mode = mode or args.mode
+    checkpoint = checkpoint or _resolve_checkpoint(args, config, paths)
+    data = config.get("data", {})
+    data_dir = _data_dir_for_mode(args, config, mode)
+    out_dir = os.path.join(paths[f"{mode}_processed"], str(checkpoint))
+    os.makedirs(out_dir, exist_ok=True)
+
+    model, mcfg = _build_model(config)
+    if not os.path.exists(os.path.join(paths["base"],
+                                       "test_net_config.json")):
+        mknet(args, config, paths)
+    nc = _net_config(paths, "test_net")
+    params = _load_params(model, mcfg, paths, checkpoint, config,
+                          use_swa=config.get("prediction", {}).get(
+                              "use_swa", False))
+
+    samples = list_samples(data_dir, data.get("input_format", "zarr"))
+    if args.sample:
+        samples = [s for s in samples if s == args.sample]
+    done = []
+    for s in samples:
+        out_path = os.path.join(out_dir, s + ".zarr")
+        key = ("volumes/pred_code" if mcfg.train_code
+               else "volumes/pred_affs")
+        if vio.check_file(out_path, keys=[key], remove_on_error=True):
+            logger.info("skipping %s (exists)", s)
+            continue
+        sd = load_sample(
+            os.path.join(data_dir, s + "." + data.get("input_format",
+                                                      "zarr")),
+            data.get("raw_key", "volumes/raw"),
+            data.get("gt_key", "volumes/gt_instances"),
+            clipmax=config.get("preprocessing", {}).get("clipmax"))
+        predict_sample_to_zarr(
+            model, params, sd.raw, mcfg,
+            nc["input_shape"], nc["output_shape"], out_path,
+            batch_size=config.get("prediction", {}).get("batch_size", 1))
+        done.append(s)
+    return done
+
+
+@time_func
+def decode(args, config, paths, mode=None, checkpoint=None):
+    """Code -> dense affinities for predicted samples (run_ppp.py:682-746)."""
+    from .infer import decode_sample
+
+    mode = mode or args.mode
+    checkpoint = checkpoint or _resolve_checkpoint(args, config, paths)
+    out_dir = os.path.join(paths[f"{mode}_processed"], str(checkpoint))
+    model, mcfg = _build_model(config)
+    if not mcfg.train_code:
+        logger.info("direct-affinity model; decode is a no-op")
+        return []
+    params = _load_params(model, mcfg, paths, checkpoint, config)
+    done = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.zarr"))):
+        if vio.check_file(path, keys=["volumes/pred_affs"]):
+            logger.info("skipping %s (decoded)", path)
+            continue
+        decode_sample(model, params, path, mcfg,
+                      fg_thresh=config.get("prediction", {}).get(
+                          "fg_thresh", 0.5),
+                      batch_size=config.get("model", {}).get(
+                          "decode_batch_size", 1024))
+        done.append(path)
+    return done
+
+
+@time_func
+def label(args, config, paths, mode=None, checkpoint=None,
+          param_overrides=None):
+    """vote_instances per sample (run_ppp.py:1054-1190)."""
+    mode = mode or args.mode
+    checkpoint = checkpoint or _resolve_checkpoint(args, config, paths)
+    in_dir = os.path.join(paths[f"{mode}_processed"], str(checkpoint))
+    out_dir = os.path.join(paths[f"{mode}_instanced"], str(checkpoint))
+    os.makedirs(out_dir, exist_ok=True)
+
+    vi_cfg = dict(config.get("vote_instances", {}))
+    vi_cfg["patchshape"] = config["model"]["patchshape"]
+    vi_cfg["overlapping_inst"] = config["model"].get("overlapping_inst",
+                                                     False)
+    if vi_cfg.get("overlapping_inst"):
+        vi_cfg.setdefault("numinst_key", "volumes/pred_numinst")
+    if param_overrides:
+        vi_cfg.update(param_overrides)
+    params = VoteInstancesParams.from_config(vi_cfg,
+                                             result_folder=out_dir)
+    done = []
+    for path in sorted(glob.glob(os.path.join(in_dir, "*.zarr"))):
+        s = os.path.splitext(os.path.basename(path))[0]
+        if args.sample and s != args.sample:
+            continue
+        out_path = os.path.join(out_dir, s + ".hdf")
+        if vio.check_file(out_path, keys=[params.res_key],
+                          remove_on_error=True):
+            logger.info("skipping %s (labelled)", s)
+            continue
+        do_all(path, params, result_folder=out_dir)
+        done.append(s)
+    return done
+
+
+@time_func
+def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
+    """Instance metrics per sample + CSV summary (run_ppp.py:1446-1536)."""
+    from .evaluate import evaluate_file, summarize_metric_dict
+
+    mode = mode or args.mode
+    checkpoint = checkpoint or _resolve_checkpoint(args, config, paths)
+    inst_dir = os.path.join(paths[f"{mode}_instanced"], str(checkpoint))
+    eval_dir = os.path.join(paths[f"{mode}_evaluated"], str(checkpoint))
+    os.makedirs(eval_dir, exist_ok=True)
+    data = config.get("data", {})
+    data_dir = _data_dir_for_mode(args, config, mode)
+    ev = config.get("evaluation", {})
+
+    metric_dicts = {}
+    for path in sorted(glob.glob(os.path.join(inst_dir, "*.hdf"))):
+        s = os.path.splitext(os.path.basename(path))[0]
+        if args.sample and s != args.sample:
+            continue
+        gt_file = os.path.join(data_dir,
+                               s + "." + data.get("input_format", "zarr"))
+        res = evaluate_file(
+            path, gt_file,
+            res_key=ev.get("res_key", "vote_instances"),
+            gt_key=data.get("gt_key", "volumes/gt_instances"),
+            localization_criterion=ev.get("localization_criterion", "iou"),
+            assignment_strategy=ev.get("assignment_strategy", "hungarian"),
+            remove_small_components=ev.get("remove_small_components", 0),
+            keep_gt_shape=ev.get("keep_gt_shape", False),
+            add_general_metrics=ev.get("add_general_metrics", ()),
+            add_multi_thresh_metrics=ev.get("add_multi_thresh_metrics", ()))
+        metric_dicts[s] = res
+        with open(os.path.join(eval_dir, s + ".json"), "w") as f:
+            json.dump(res, f, indent=2, default=float)
+
+    if metric_dicts and ev.get("summary"):
+        summarize_metric_dict(metric_dicts, ev["summary"],
+                              os.path.join(eval_dir, "summary.csv"))
+    return metric_dicts
+
+
+def _metric_of(metric_dicts: dict, metric_key: str) -> float:
+    vals = [cfglib.get_by_path(md, metric_key) for md in
+            metric_dicts.values()]
+    vals = [v for v in vals if v is not None]
+    return float(np.mean(vals)) if vals else float("-inf")
+
+
+@time_func
+def validate_checkpoints(args, config, paths):
+    """Grid search: checkpoints x parameter sets; selects the best by the
+    configured metric and writes results.json (run_ppp.py:919-1051)."""
+    val = config.get("validation", {})
+    metric_key = config.get("evaluation", {}).get(
+        "metric", "confusion_matrix.avFscore")
+    checkpoints = val.get("checkpoints") or get_checkpoint_list(
+        paths["train"])
+    param_sets = cfglib.named_params(val) or [{}]
+    if args.param_set is not None:
+        param_sets = [param_sets[args.param_set]]
+
+    results = []
+    for cp in checkpoints:
+        predict(args, config, paths, mode="val", checkpoint=cp)
+        decode(args, config, paths, mode="val", checkpoint=cp)
+        for pi, pset in enumerate(param_sets):
+            label(args, config, paths, mode="val", checkpoint=cp,
+                  param_overrides=pset)
+            mdicts = evaluate(args, config, paths, mode="val",
+                              checkpoint=cp)
+            score = _metric_of(mdicts, metric_key)
+            results.append({"checkpoint": cp, "params": pset,
+                            "metric": metric_key, "score": score})
+            logger.info("checkpoint %s params %s -> %s = %.5f",
+                        cp, pset, metric_key, score)
+            # clear instanced outputs so the next param set recomputes
+            if len(param_sets) > 1:
+                shutil.rmtree(os.path.join(paths["val_instanced"], str(cp)),
+                              ignore_errors=True)
+
+    best = max(results, key=lambda r: r["score"]) if results else None
+    out = {"results": results, "best": best}
+    with open(os.path.join(paths["base"], "results.json"), "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    return out
+
+
+@time_func
+def cross_validate(args, config, paths):
+    """2-fold cross validation over the configured folds
+    (run_ppp.py:1674-1971): best params on fold A applied to fold B and
+    vice versa; scores averaged over samples."""
+    metric_key = config.get("evaluation", {}).get(
+        "metric", "confusion_matrix.avFscore")
+    folds = config.get("data", {}).get("cross_val_folders",
+                                       ["val_data", "test_data"])
+    fold_modes = {"val_data": "val", "test_data": "test"}
+    results = {}
+    for select_fold, apply_fold in (tuple(folds), tuple(reversed(folds))):
+        sel_mode = fold_modes.get(select_fold, "val")
+        app_mode = fold_modes.get(apply_fold, "test")
+        args_sel = copy.copy(args)
+        args_sel.mode = sel_mode
+        r = validate_checkpoints(args_sel, config, paths)
+        best = r["best"]
+        if best is None:
+            continue
+        cp = best["checkpoint"]
+        predict(args, config, paths, mode=app_mode, checkpoint=cp)
+        decode(args, config, paths, mode=app_mode, checkpoint=cp)
+        label(args, config, paths, mode=app_mode, checkpoint=cp,
+              param_overrides=best["params"])
+        mdicts = evaluate(args, config, paths, mode=app_mode, checkpoint=cp)
+        results[f"{select_fold}->{apply_fold}"] = {
+            "best": best, "applied_score": _metric_of(mdicts, metric_key)}
+    scores = [v["applied_score"] for v in results.values()]
+    results["mean_score"] = float(np.mean(scores)) if scores else None
+    with open(os.path.join(paths["base"], "cross_val_results.json"),
+              "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results
+
+
+@time_func
+def postprocess(args, config, paths):
+    """Small-component removal over instanced outputs (run_ppp.py:2230-2259)."""
+    import h5py
+
+    from .utils.postprocess import remove_small_components
+
+    checkpoint = _resolve_checkpoint(args, config, paths)
+    inst_dir = os.path.join(paths[f"{args.mode}_instanced"], str(checkpoint))
+    rm = config.get("postprocessing", {}).get("remove_small_comps",
+                                              config.get("vote_instances",
+                                                         {}).get(
+                                                  "remove_small_comps", 0))
+    for path in sorted(glob.glob(os.path.join(inst_dir, "*.hdf"))):
+        with h5py.File(path, "a") as f:
+            inst = f["vote_instances"][()]
+            out = remove_small_components(inst, rm)
+            if "vote_instances_pp" in f:
+                del f["vote_instances_pp"]
+            f.create_dataset("vote_instances_pp", data=out,
+                             compression="gzip")
+    return inst_dir
+
+
+@time_func
+def visualize(args, config, paths):
+    """Patch mosaics + instance PNGs (run_ppp.py:1539-1606)."""
+    import h5py
+
+    from .visualize import visualize_instances
+
+    checkpoint = _resolve_checkpoint(args, config, paths)
+    inst_dir = os.path.join(paths[f"{args.mode}_instanced"], str(checkpoint))
+    out = []
+    for path in sorted(glob.glob(os.path.join(inst_dir, "*.hdf"))):
+        s = os.path.splitext(os.path.basename(path))[0]
+        with h5py.File(path, "r") as f:
+            inst = f["vote_instances"][()]
+        png = os.path.join(inst_dir, s + ".png")
+        visualize_instances(inst, png)
+        out.append(png)
+    return out
+
+
+@time_func
+def cleanup(args, config, paths):
+    """Delete predictions whose instances exist (run_ppp.py:1092-1107)."""
+    checkpoint = _resolve_checkpoint(args, config, paths)
+    removed = []
+    for mode in ("val", "test"):
+        proc = os.path.join(paths[f"{mode}_processed"], str(checkpoint))
+        inst = os.path.join(paths[f"{mode}_instanced"], str(checkpoint))
+        for path in sorted(glob.glob(os.path.join(proc, "*.zarr"))):
+            s = os.path.splitext(os.path.basename(path))[0]
+            if os.path.exists(os.path.join(inst, s + ".hdf")):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    return removed
+
+
+def main(argv=None):
+    args = get_arguments(argv)
+    config = cfglib.load_config(*args.config)
+    if args.debug_args:
+        cfglib.set_by_path(config, "training.max_iterations", 10)
+        cfglib.set_by_path(config, "training.cache_size", 2)
+
+    paths = create_folders(args.root, args.expid)
+    setup_logging(paths["base"],
+                  config.get("general", {}).get("logging", "INFO"))
+
+    # provenance: merged config + original files into backups/
+    cfglib.dump_config(config, os.path.join(paths["base"], "config.toml"))
+    for c in args.config:
+        backup_and_copy_file(c, paths["backups"])
+
+    tasks = args.do or ["all"]
+    if "all" in tasks:
+        tasks = ["mknet", "train", "validate_checkpoints", "predict",
+                 "decode", "label", "evaluate"]
+    dispatch = {
+        "mknet": mknet, "train": train, "predict": predict,
+        "decode": decode, "label": label, "evaluate": evaluate,
+        "validate_checkpoints": validate_checkpoints,
+        "validate": validate_checkpoints,
+        "cross_validate": cross_validate,
+        "postprocess": postprocess, "visualize": visualize,
+        "cleanup": cleanup,
+    }
+    for task in tasks:
+        logger.info("=== task %s ===", task)
+        dispatch[task](args, config, paths)
+    return paths
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,40 @@ def labels_to_affinities(labels: np.ndarray, patchshape,
     return affs
 
 
+def labels_to_affinities_multi(labels: np.ndarray, patchshape,
+                               hi: float = 0.95,
+                               lo: float = 0.05) -> np.ndarray:
+    """Multi-channel GT (one instance per channel, overlapping) to ideal
+    dense affinities, vectorized with shifted slices.
+
+    labels: (C, *vol) int.  Affinity p at voxel x is ``hi`` iff some channel
+    carries the same non-zero label at x and x + off(p) - rad, gated on both
+    voxels being foreground in any channel (train_util.py multi semantics).
+    Out-of-bounds neighbors and background centers get ``lo``.
+    """
+    ps = np.asarray(patchshape, dtype=np.int64)
+    rad = ps // 2
+    offs = patch_offsets(ps)
+    vol_shape = np.array(labels.shape[1:])
+    ndim = len(vol_shape)
+    P = len(offs)
+    fg = np.any(labels > 0, axis=0)
+    affs = np.full((P,) + tuple(vol_shape), lo, dtype=np.float32)
+
+    for p in range(P):
+        d = offs[p] - rad
+        src = tuple(slice(max(0, -dd), min(s, s - dd))
+                    for dd, s in zip(d, vol_shape))
+        dst = tuple(slice(max(0, dd), min(s, s + dd))
+                    for dd, s in zip(d, vol_shape))
+        center = labels[(slice(None),) + src]
+        other = labels[(slice(None),) + dst]
+        same = np.any((center == other) & (center != 0), axis=0)
+        same &= fg[src] & fg[dst]
+        affs[(p,) + src][same] = hi
+    return affs
+
+
 def two_blob_labels_2d(h: int = 20, w: int = 20) -> np.ndarray:
     """Two rectangular instances with a 1px gap, as (1, h, w) labels."""
     labels = np.zeros((1, h, w), dtype=np.int32)

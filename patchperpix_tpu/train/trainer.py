@@ -70,10 +70,12 @@ def save_checkpoint(path: str, state: dict):
     ckpt.wait_until_finished()
 
 
-def load_checkpoint(path: str, template: dict) -> dict:
+def load_checkpoint(path: str, template: dict | None = None) -> dict:
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
+    if template is None:
+        return ckpt.restore(os.path.abspath(path))
     return ckpt.restore(os.path.abspath(path), target=template)
 
 

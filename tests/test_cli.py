@@ -1,0 +1,180 @@
+"""CLI orchestrator integration test on a tiny synthetic dataset."""
+
+import json
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from patchperpix_tpu import cli
+from patchperpix_tpu.utils import io as vio
+
+
+def _write_sample(path, seed):
+    rng = np.random.RandomState(seed)
+    labels = np.zeros((2, 48, 48), dtype=np.uint8)
+    y1, x1 = rng.randint(6, 12, 2)
+    y2, x2 = rng.randint(26, 32, 2)
+    labels[0, y1:y1 + 10, x1:x1 + 10] = 1
+    labels[1, y2:y2 + 10, x2:x2 + 10] = 2
+    raw = (labels.sum(0) > 0).astype(np.float32)[None]
+    raw = np.clip(raw + 0.05 * rng.randn(1, 48, 48), 0, 1)
+    io = vio.IoZarr(str(path), mode="w")
+    io.create("volumes/raw", raw.shape, np.float32)
+    io.write(raw.astype(np.float32), key="volumes/raw")
+    io.create("volumes/gt_instances", labels.shape, np.uint8)
+    io.write(labels, key="volumes/gt_instances")
+    io.close()
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    for split in ("train", "val", "test"):
+        d = root / split
+        d.mkdir()
+        for i in range(2):
+            _write_sample(d / f"sample_{split}{i}.zarr", seed=hash(split) %
+                          1000 + i)
+    return root
+
+
+@pytest.fixture(scope="module")
+def config_file(dataset, tmp_path_factory):
+    cfg = tmp_path_factory.mktemp("cfg") / "test.toml"
+    cfg.write_text(textwrap.dedent(f"""
+        [general]
+        logging = "INFO"
+
+        [data]
+        train_data = "{dataset}/train"
+        val_data = "{dataset}/val"
+        test_data = "{dataset}/test"
+        input_format = "zarr"
+        num_channels = 1
+        raw_key = "volumes/raw"
+        gt_key = "volumes/gt_instances"
+
+        [model]
+        patchshape = [1, 5, 5]
+        num_fmaps = 8
+        fmap_inc_factors = [2]
+        fmap_dec_factors = [1.0]
+        downsample_factors = [[1, 2, 2]]
+        train_padding = "same"
+        val_padding = "same"
+        train_input_shape_same = [32, 32]
+        test_input_shape_same = [48, 48]
+        overlapping_inst = false
+        train_code = false
+
+        [training]
+        max_iterations = 120
+        checkpoints = 120
+        batch_size = 4
+        cache_size = 4
+
+        [training.sampling]
+        probability_fg = 0.9
+        probability_overlap = 0.0
+        probability_random = 0.1
+
+        [optimizer.optimizer]
+        optimizer = "Adam"
+        lr = 0.003
+
+        [prediction]
+        fg_thresh = 0.5
+        batch_size = 2
+
+        [vote_instances]
+        patch_threshold = 0.5
+        fc_threshold = 0.5
+        engine = "jax"
+        select_patches_for_sparse_data = true
+        mws = false
+
+        [evaluation]
+        res_key = "vote_instances"
+        metric = "confusion_matrix.avFscore"
+        localization_criterion = "iou"
+        assignment_strategy = "hungarian"
+        summary = [ "general.Num GT", "general.Num Pred",
+                    "confusion_matrix.avFscore",]
+        [validation]
+        params_zip = ["patch_threshold"]
+        patch_threshold = [0.5]
+    """))
+    return str(cfg)
+
+
+@pytest.fixture(scope="module")
+def exp_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("exps"))
+
+
+@pytest.fixture(scope="module")
+def trained(config_file, exp_root):
+    paths = cli.main(["--config", config_file, "--root", exp_root,
+                      "-id", "testrun", "-d", "mknet", "train"])
+    return paths
+
+
+def test_mknet_and_train(trained):
+    assert os.path.exists(os.path.join(trained["base"],
+                                       "train_net_config.json"))
+    with open(os.path.join(trained["base"], "train_net_config.json")) as f:
+        nc = json.load(f)
+    assert nc["input_shape"] == [32, 32]
+    assert nc["output_shape"] == [32, 32]
+    from patchperpix_tpu.cli import get_checkpoint_list
+    assert get_checkpoint_list(trained["train"]) == [120]
+    # config provenance
+    assert os.path.exists(os.path.join(trained["base"], "config.toml"))
+    assert os.path.exists(os.path.join(trained["base"], "run.log"))
+
+
+def test_predict_label_evaluate(trained, config_file, exp_root):
+    paths = cli.main(["--config", config_file, "--root", exp_root,
+                      "-id", "testrun",
+                      "-d", "predict", "label", "evaluate",
+                      "--mode", "test"])
+    proc = os.path.join(paths["test_processed"], "120")
+    inst = os.path.join(paths["test_instanced"], "120")
+    ev = os.path.join(paths["test_evaluated"], "120")
+    zarrs = [p for p in os.listdir(proc) if p.endswith(".zarr")]
+    assert len(zarrs) == 2
+    hdfs = [p for p in os.listdir(inst) if p.endswith(".hdf")]
+    assert len(hdfs) == 2
+    assert os.path.exists(os.path.join(ev, "summary.csv"))
+    # a trained model on this easy task should find 2 instances per sample
+    with open(os.path.join(
+            ev, sorted(os.listdir(ev))[0].replace(".csv", ".json"))
+            if False else os.path.join(
+            ev, [p for p in sorted(os.listdir(ev))
+                 if p.endswith(".json")][0])) as f:
+        res = json.load(f)
+    assert res["general"]["Num GT"] == 2
+    assert res["general"]["Num Pred"] >= 1
+
+
+def test_predict_skips_existing(trained, config_file, exp_root):
+    # second predict run must skip all existing outputs (cli.setup_logging
+    # replaces handlers, so assert on the run.log file)
+    log = os.path.join(trained["base"], "run.log")
+    before = open(log).read()
+    cli.main(["--config", config_file, "--root", exp_root,
+              "-id", "testrun", "-d", "predict", "--mode", "test"])
+    after = open(log).read()
+    assert "skipping" in after[len(before):]
+
+
+def test_validate_checkpoints(trained, config_file, exp_root):
+    paths = cli.main(["--config", config_file, "--root", exp_root,
+                      "-id", "testrun", "-d", "validate_checkpoints"])
+    with open(os.path.join(paths["base"], "results.json")) as f:
+        res = json.load(f)
+    assert res["best"] is not None
+    assert res["best"]["checkpoint"] == 120
+    assert res["best"]["score"] > 0

@@ -1,0 +1,87 @@
+"""Device cover stages vs the host golden reference."""
+
+import numpy as np
+import pytest
+
+from patchperpix_tpu.ops import np_reference as ref
+from patchperpix_tpu.ops import synthetic
+from patchperpix_tpu.ops.cover import (build_cover_matrix,
+                                       greedy_cover_device,
+                                       thin_out_cover_device)
+
+
+def _case(seed=0, ps=(1, 5, 5)):
+    labels = synthetic.two_blob_labels_2d()
+    affs = synthetic.labels_to_affinities(labels, np.array(ps))
+    mid = int(np.prod(ps)) // 2
+    fg = affs[mid] > 0.5
+    return labels, affs, fg
+
+
+def _ranked(affs, fg, ps):
+    from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
+                                                   consensus_array,
+                                                   rank_scores)
+
+    cfg = ConsensusConfig(patchshape=tuple(int(p) for p in ps))
+    cons = consensus_array(affs, cfg)
+    scores = np.asarray(rank_scores(affs, cons, cfg))
+    rad = np.asarray(ps) // 2
+    interior = np.zeros_like(fg)
+    interior[tuple(slice(int(r), int(s - r))
+                   for r, s in zip(rad, fg.shape))] = True
+    allp = [tuple(c) for c in np.argwhere(fg & interior)]
+    return ref.rank_patch_list(allp, scores)
+
+
+def test_build_cover_matrix_counts():
+    ps = np.array([1, 5, 5])
+    labels, affs, fg = _case()
+    centers = np.argwhere(fg)[:5]
+    M, compact = build_cover_matrix(affs, centers, fg, ps, 0.5)
+    assert M.shape == (5, int(fg.sum()))
+    # each row's count equals the reference patch fg set size
+    for i, c in enumerate(centers):
+        s = ref.patch_fg_set(c, affs, fg, ps, 0.5)
+        assert M[i].sum() == len(s)
+
+
+@pytest.mark.parametrize("sparse", [True, False])
+def test_greedy_cover_parity(sparse):
+    ps = np.array([1, 5, 5])
+    labels, affs, fg = _case()
+    ranked = _ranked(affs, fg, ps)
+    sel_host, run_host = ref.foreground_cover_reference(
+        affs, fg, ranked, ps, sparse_data=sparse)
+    sel_dev, run_dev = greedy_cover_device(
+        affs, fg, ranked, ps, sparse_data=sparse)
+    host_centers = [tuple(rp[0]) for rp in sel_host]
+    dev_centers = [tuple(rp[0]) for rp in sel_dev]
+    assert host_centers == dev_centers
+    np.testing.assert_array_equal(run_host, run_dev)
+
+
+def test_thin_cover_parity():
+    ps = np.array([1, 5, 5])
+    labels, affs, fg = _case()
+    ranked = _ranked(affs, fg, ps)
+    selected, _ = ref.foreground_cover_reference(
+        affs, fg, ranked, ps, sparse_data=True)
+    thin_host = ref.thin_out_cover_reference(affs, fg, selected, ps)
+    thin_dev = thin_out_cover_device(affs, fg, selected, ps)
+    assert [tuple(rp[0]) for rp in thin_host] == \
+        [tuple(rp[0]) for rp in thin_dev]
+
+
+def test_thin_cover_parity_3d():
+    ps = np.array([3, 3, 3])
+    labels = synthetic.two_blob_labels_3d()
+    affs = synthetic.labels_to_affinities(labels, ps)
+    fg = affs[13] > 0.5
+    ranked = _ranked(affs, fg, ps)
+    selected, _ = ref.foreground_cover_reference(
+        affs, fg, ranked, ps, sparse_data=True)
+    thin_host = ref.thin_out_cover_reference(affs, fg, selected, ps)
+    thin_dev = thin_out_cover_device(affs, fg, selected, ps)
+    assert [tuple(rp[0]) for rp in thin_host] == \
+        [tuple(rp[0]) for rp in thin_dev]
