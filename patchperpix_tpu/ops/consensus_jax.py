@@ -107,7 +107,8 @@ def _shift_nd(vol: jnp.ndarray, shift, axes) -> jnp.ndarray:
 
 
 def _masks(affs: jnp.ndarray, cfg: ConsensusConfig,
-           overlap: jnp.ndarray | None):
+           overlap: jnp.ndarray | None,
+           center_valid: jnp.ndarray | None = None):
     """(hi, lo, tgt) eligibility masks, each (P, *vol) float32.
 
     hi[p, c]: center c interior+fg, patch value > th, target pixel fg (and
@@ -128,6 +129,10 @@ def _masks(affs: jnp.ndarray, cfg: ConsensusConfig,
         idx = jax.lax.broadcasted_iota(jnp.int32, vol_shape, ax)
         interior &= (idx >= int(rad[ax])) & (idx < vol_shape[ax] - int(rad[ax]))
     center_ok = fg & interior
+    if center_valid is not None:
+        # extra gate for sharded execution: a halo center is only valid if
+        # it is interior in the GLOBAL volume, not just in this block
+        center_ok = center_ok & center_valid
 
     tgt_ok = fg
     if cfg.overlapping_inst and overlap is not None:
@@ -171,7 +176,8 @@ def _neg_weight(v_hi, v_lo, cfg: ConsensusConfig):
 @functools.partial(jax.jit, static_argnames=("cfg", "with_counts"))
 def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
                     overlap: jnp.ndarray | None = None,
-                    with_counts: bool = False):
+                    with_counts: bool = False,
+                    center_valid: jnp.ndarray | None = None):
     """Consensus vote array, count-normalized if cfg.norm_aff.
 
     Returns (*neigh, *vol) float32 (and the raw counts if ``with_counts``).
@@ -181,7 +187,7 @@ def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
     P = cfg.P
     vol_shape = affs.shape[1:]
 
-    hi, lo, _ = _masks(affs, cfg, overlap)
+    hi, lo, _ = _masks(affs, cfg, overlap, center_valid)
     lexpos = jnp.asarray(_lexpos_table(ps), dtype=jnp.float32)
     offs = jnp.asarray(patch_offsets(ps), dtype=jnp.int32)
     rad_j = jnp.asarray(rad, dtype=jnp.int32)
@@ -234,7 +240,8 @@ def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
-                overlap: jnp.ndarray | None = None) -> jnp.ndarray:
+                overlap: jnp.ndarray | None = None,
+                center_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-voxel patch agreement score (rankPatches.cu semantics).
 
     Border / background voxels get the sentinel (-1 if norm_rank else
@@ -245,7 +252,7 @@ def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
     P = cfg.P
     vol_shape = affs.shape[1:]
 
-    hi, lo, tgt = _masks(affs, cfg, overlap)
+    hi, lo, tgt = _masks(affs, cfg, overlap, center_valid)
     lexpos = jnp.asarray(_lexpos_table(ps), dtype=jnp.float32)
     offs = jnp.asarray(patch_offsets(ps), dtype=jnp.int32)
     rad_j = jnp.asarray(rad, dtype=jnp.int32)
@@ -292,6 +299,8 @@ def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
         idx = jax.lax.broadcasted_iota(jnp.int32, vol_shape, ax)
         interior &= (idx >= int(rad[ax])) & (idx < vol_shape[ax] - int(rad[ax]))
     center_ok = fg & interior
+    if center_valid is not None:
+        center_ok = center_ok & center_valid
 
     sentinel = -1.0 if cfg.norm_rank else -9999999.0
     score = acc / jnp.maximum(1.0, fg_cnt) if cfg.norm_rank else acc

@@ -85,8 +85,11 @@ def _is_simple_2d(nbhd: np.ndarray) -> bool:
     return ok
 
 
-def skeletonize(volume: np.ndarray) -> np.ndarray:
-    """Binary medial skeleton; accepts 2D or 3D (leading size-1 axes ok)."""
+def skeletonize(volume: np.ndarray, native: bool = True) -> np.ndarray:
+    """Binary medial skeleton; accepts 2D or 3D (leading size-1 axes ok).
+
+    3D volumes go through the C++ thinning (native/thinning.cpp) when
+    available; 2D always uses the python 8/4-connectivity test."""
     vol = np.asarray(volume) > 0
     squeeze_axes = tuple(i for i, s in enumerate(vol.shape)
                          if s == 1 and vol.ndim > 2)
@@ -94,6 +97,12 @@ def skeletonize(volume: np.ndarray) -> np.ndarray:
     if work.ndim == 2:
         out = _thin(work, _is_simple_2d, _neighbor_count_2d, _borders_2d)
     elif work.ndim == 3:
+        if native:
+            from ..native import skeletonize_3d_native
+
+            nat = skeletonize_3d_native(work)
+            if nat is not None:
+                return nat.reshape(vol.shape).astype(np.uint8)
         out = _thin(work, _is_simple_3d, _neighbor_count_3d, _borders_3d)
     else:
         raise ValueError(f"need 2D or 3D volume, got shape {vol.shape}")
@@ -140,9 +149,13 @@ def _borders_2d(img):
 def _thin(img, is_simple, neighbor_count, borders):
     img = np.pad(img, 1, mode="constant")
     ndim = img.ndim
+    n_dirs = len(borders(img))
     while True:
         changed = False
-        for border in borders(img):
+        for di in range(n_dirs):
+            # recompute this direction's border from the current state
+            # (per-subiteration border, as in Lee et al.)
+            border = borders(img)[di]
             ncnt = neighbor_count(img)
             # candidates: on this border, not curve endpoints
             cand = border & (ncnt > 1)

@@ -1,9 +1,10 @@
 import os
 
-# Multi-chip sharding is tested on a virtual 8-device CPU mesh; the real TPU
-# is exercised by bench.py / the driver, not by unit tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Multi-chip sharding is tested on a virtual 8-device CPU mesh (the axon
+# TPU platform ignores JAX_PLATFORMS/XLA_FLAGS, so request virtual CPU
+# devices through the config knob before any backend initializes; tests
+# that need them use jax.local_devices(backend="cpu")).
+os.environ.setdefault("JAX_PLATFORMS", "")
+import jax  # noqa: E402
+
+jax.config.update("jax_num_cpu_devices", 8)

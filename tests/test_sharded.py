@@ -1,0 +1,66 @@
+"""Sharded consensus/rank vs single-device: bit-identical results.
+
+Runs on an 8-virtual-CPU-device mesh (the TPU analog of multi-node tests
+without a cluster, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
+                                               consensus_array, rank_scores)
+from patchperpix_tpu.parallel import (make_spatial_mesh,
+                                      sharded_consensus_and_rank)
+
+
+def _cpu_mesh(n):
+    devices = jax.local_devices(backend="cpu")
+    if len(devices) < n:
+        pytest.skip(f"need {n} cpu devices, have {len(devices)}")
+    return make_spatial_mesh(n, backend="cpu")
+
+
+def _random_affs(shape, P, seed=0):
+    rng = np.random.RandomState(seed)
+    affs = rng.rand(P, *shape).astype(np.float32)
+    return np.where(affs > 0.5, 0.6 + 0.4 * affs, 0.4 * affs).astype(
+        np.float32)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_matches_single_device(n_dev):
+    mesh = _cpu_mesh(n_dev)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3))
+    # local slab must cover the 3*rad halo: 8 devices need Z >= 24
+    affs = _random_affs((24, 7, 8), 27, seed=3)
+
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    affs_d = jax.device_put(jnp.asarray(affs), cpu0)
+    cons_ref = np.asarray(consensus_array(affs_d, cfg))
+    scores_ref = np.asarray(rank_scores(affs_d, jnp.asarray(cons_ref), cfg))
+
+    cons_sh, scores_sh = sharded_consensus_and_rank(
+        jnp.asarray(affs), cfg, mesh)
+    np.testing.assert_allclose(np.asarray(cons_sh), cons_ref,
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores_sh), scores_ref,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_with_overlap_mask():
+    mesh = _cpu_mesh(4)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
+    affs = _random_affs((8, 6, 7), 27, seed=5)
+    overlap = np.zeros((8, 6, 7), dtype=bool)
+    overlap[3:5, 2:4, 2:5] = True
+
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    cons_ref = np.asarray(consensus_array(
+        jax.device_put(jnp.asarray(affs), cpu0), cfg,
+        overlap=jax.device_put(jnp.asarray(overlap), cpu0)))
+
+    cons_sh, _ = sharded_consensus_and_rank(
+        jnp.asarray(affs), cfg, mesh, overlap=jnp.asarray(overlap))
+    np.testing.assert_allclose(np.asarray(cons_sh), cons_ref,
+                               atol=1e-5, rtol=1e-5)
