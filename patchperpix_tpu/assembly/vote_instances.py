@@ -181,10 +181,17 @@ def to_instance_seg(
     use_jax = params.engine == "jax"
     _t_stage = time.perf_counter()
 
-    # (1) consensus
-    overlap_arg = overlap_mask if params.overlapping_inst else None
+    # (1) consensus (bool mask: integer masks defeat XLA mask fusion).
+    # Upload the affinity stack ONCE; all device stages share it (repeated
+    # numpy->jit calls re-transfer it every time).
+    overlap_arg = (overlap_mask > 0) if params.overlapping_inst else None
     if use_jax:
-        cons = consensus_array(pred_affs, ccfg, overlap=overlap_arg)
+        import jax
+
+        pred_affs_dev = jax.device_put(pred_affs)
+        if overlap_arg is not None:
+            overlap_arg = jax.device_put(overlap_arg)
+        cons = consensus_array(pred_affs_dev, ccfg, overlap=overlap_arg)
         cons_np = None
     else:
         cons_np, _ = ref.consensus_reference(
@@ -202,7 +209,7 @@ def to_instance_seg(
                                or params.selected_patch_pairs is not None):
         scores = np.zeros(vol_shape, dtype=np.float32)
     elif use_jax:
-        scores = np.asarray(rank_scores(pred_affs, cons, ccfg,
+        scores = np.asarray(rank_scores(pred_affs_dev, cons, ccfg,
                                         overlap=overlap_arg))
     else:
         scores = ref.rank_patches_reference(
@@ -231,7 +238,7 @@ def to_instance_seg(
     else:
         if use_jax and params.score_threshold is None:
             selected, _ = greedy_cover_device(
-                pred_affs, mask_to_cover, ranked, ps,
+                pred_affs_dev, mask_to_cover, ranked, ps,
                 fc_threshold=params.fc_threshold,
                 overlap=overlap_mask,
                 sparse_data=params.select_patches_for_sparse_data)
@@ -248,7 +255,7 @@ def to_instance_seg(
         if not params.skipThinCover and len(selected) > 0:
             if use_jax:
                 selected = thin_out_cover_device(
-                    pred_affs, mask_to_cover, selected, ps,
+                    pred_affs_dev, mask_to_cover, selected, ps,
                     fc_threshold=params.fc_threshold)
             else:
                 selected = ref.thin_out_cover_reference(
@@ -278,7 +285,7 @@ def to_instance_seg(
     if use_jax:
         sym = symmetrize_consensus(cons, ccfg)
         weights = np.asarray(patch_graph_weights(
-            pred_affs, sym, pairs, ccfg, seed=params.seed,
+            pred_affs_dev, sym, pairs, ccfg, seed=params.seed,
             drop_intersection=params.removeIntersection))
     else:
         weights = ref.patch_graph_reference(

@@ -193,9 +193,15 @@ def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
     rad_j = jnp.asarray(rad, dtype=jnp.int32)
     psm1 = jnp.asarray(ps - 1, dtype=jnp.int32)
 
-    cons = jnp.zeros(tuple(neigh) + tuple(vol_shape), dtype=jnp.float32)
+    # consensus is built SPATIALLY PADDED by rad: the per-step offset-block
+    # placement (d = r-q+ps-1) and the center->base translation
+    # (x = c + q - rad) combine into ONE dynamic slice/update offset, so the
+    # scan body is a single read-modify-write with a fused elementwise
+    # producer - no rolls, no masks.  Out-of-volume votes land in the pad
+    # margin and are cropped at the end.
+    pad_shape = tuple(int(s + 2 * r) for s, r in zip(vol_shape, rad))
+    cons = jnp.zeros(tuple(neigh) + pad_shape, dtype=jnp.float32)
     cnt = jnp.zeros_like(cons)
-    spatial_axes = tuple(range(ndim))
 
     def body(carry, q):
         cons, cnt = carry
@@ -212,17 +218,11 @@ def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
         contrib_cnt = mask * (hi_q[None] * hi + hi_q[None] * lo
                               + lo_q[None] * hi)
 
-        # spatial translation center -> base pixel: x = c + (q - rad)
-        shift = offs[q] - rad_j
-        contrib = _shift_nd(contrib, shift, tuple(a + 1 for a in spatial_axes))
-        contrib_cnt = _shift_nd(contrib_cnt, shift,
-                                tuple(a + 1 for a in spatial_axes))
-
-        # d index = r - q + ps - 1: contiguous ps-sized block at ps-1-q
         block_shape = tuple(int(p) for p in ps) + tuple(vol_shape)
         contrib = contrib.reshape(block_shape)
         contrib_cnt = contrib_cnt.reshape(block_shape)
-        start = tuple(psm1 - offs[q]) + (0,) * ndim
+        # d-block at ps-1-q; spatial at pad + (q - rad) = q
+        start = tuple(psm1 - offs[q]) + tuple(offs[q])
         cur = jax.lax.dynamic_slice(cons, start, block_shape)
         cons = jax.lax.dynamic_update_slice(cons, cur + contrib, start)
         cur = jax.lax.dynamic_slice(cnt, start, block_shape)
@@ -230,6 +230,12 @@ def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
         return (cons, cnt), None
 
     (cons, cnt), _ = jax.lax.scan(body, (cons, cnt), jnp.arange(P))
+
+    crop = tuple([slice(None)] * ndim
+                 + [slice(int(r), int(r + s))
+                    for r, s in zip(rad, vol_shape)])
+    cons = cons[crop]
+    cnt = cnt[crop]
 
     if cfg.norm_aff:
         cons = jnp.where(cnt != 0, cons / jnp.maximum(cnt, 1e-30), cons)
@@ -259,17 +265,20 @@ def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
     psm1 = jnp.asarray(ps - 1, dtype=jnp.int32)
     spatial_axes = tuple(range(ndim))
 
+    # spatially pad cons by rad so the per-step d-block selection and the
+    # center->base translation combine into one dynamic-slice offset
+    # (mirrors the consensus scatter; pad reads are zero)
+    pad = [(0, 0)] * ndim + [(int(r), int(r)) for r in rad]
+    cons_pad = jnp.pad(cons, pad)
+
     def body(acc, q):
         hi_q, lo_q = hi[q], lo[q]
         mask = lexpos[q].reshape((P,) + (1,) * ndim)
         block_shape = tuple(int(p) for p in ps) + tuple(vol_shape)
-        start = tuple(psm1 - offs[q]) + (0,) * ndim
-        block = jax.lax.dynamic_slice(cons, start, block_shape)
+        # block[r][c] = cons[r - q + ps-1][c + q - rad]
+        start = tuple(psm1 - offs[q]) + tuple(offs[q])
+        block = jax.lax.dynamic_slice(cons_pad, start, block_shape)
         block = block.reshape((P,) + tuple(vol_shape))
-        # invert the center->base translation: value seen from center c is
-        # cons[...][c + q - rad]
-        shift = -(offs[q] - rad_j)
-        block = _shift_nd(block, shift, tuple(a + 1 for a in spatial_axes))
 
         w_hh = mask * hi_q[None] * hi
         w_hl = mask * (hi_q[None] * lo + lo_q[None] * hi)
@@ -307,6 +316,7 @@ def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
     return jnp.where(center_ok, score, sentinel).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def symmetrize_consensus(cons: jnp.ndarray, cfg: ConsensusConfig) -> jnp.ndarray:
     """Fill the lex-negative offset half: S[-d][x+d] = S[d][x].
 
@@ -390,6 +400,14 @@ def patch_graph_weights(
     # pad spatial axes by rad so the per-center fg window slice is in bounds
     fg_pad = jnp.pad(fg, [(int(r), int(r)) for r in rad])
     neigh = cfg.neigh
+    n_off = int(np.prod(neigh))
+    # flat consensus view: the per-pair P^2 reads are one 1-D gather with
+    # indices = static (p1, p2) table + a per-pair scalar offset
+    cons_flat = cons_sym.reshape(-1)
+    d_strides = np.array([int(np.prod(neigh[i + 1:])) for i in range(ndim)])
+    vol_len = int(np.prod(vol_shape))
+    d_strides_j = jnp.asarray(d_strides * vol_len, jnp.int32)
+    sp_strides_j = jnp.asarray(strides, jnp.int32)
 
     def one_pair(pair):
         c1 = pair[:ndim].astype(jnp.int32)
@@ -404,10 +422,8 @@ def patch_graph_weights(
         hi1 = (v1 > th) * win1.reshape(-1)
         hi2 = (v2 > th) * win2.reshape(-1)
 
-        # consensus values S[dc + dp + ps-1][c1 + p1 - rad]: one gather over
-        # the 6-D symmetrized consensus with per-(p1,p2) offset indices and
-        # per-p1 spatial indices; out-of-range offsets are clipped and
-        # masked by in_read (their true value is 0)
+        # consensus values S[dc + dp + ps-1][c1 + p1 - rad] via one flat
+        # gather; out-of-range offsets are clipped and masked by in_read
         dt = dc[None, None, :] + dp_j              # (P, P, ndim) total offset
         in_read = jnp.all((dt >= -(ps_j - 1)[None, None])
                           & (dt <= (ps_j - 1)[None, None]), axis=-1)
@@ -417,9 +433,9 @@ def patch_graph_weights(
         x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
         vol_max = jnp.asarray(vol_shape - 1, jnp.int32)
         x1c = jnp.clip(x1, 0, vol_max[None, None])
-        gather_idx = tuple(d_idx[..., i] for i in range(ndim)) + \
-            tuple(x1c[..., i] for i in range(ndim))
-        vals = cons_sym[gather_idx]                # (P1, P2)
+        flat_idx = (jnp.sum(d_idx * d_strides_j, axis=-1)
+                    + jnp.sum(x1c * sp_strides_j, axis=-1))
+        vals = jnp.take(cons_flat, flat_idx)       # (P1, P2)
         # fgCnt bound is asymmetric in the canonical (lex-ordered) direction
         g1 = jnp.sum(x1 * strides_j, axis=-1)
         g2 = jnp.sum(x2 * strides_j, axis=-1)
@@ -447,4 +463,4 @@ def patch_graph_weights(
             return acc / jnp.maximum(1.0, fg_cnt)
         return acc
 
-    return jax.lax.map(one_pair, pairs.astype(jnp.int32), batch_size=16)
+    return jax.lax.map(one_pair, pairs.astype(jnp.int32), batch_size=64)

@@ -1,14 +1,14 @@
 """Foreground cover stages as device programs.
 
-The reference's thin-out set cover (foreground_cover.py:183-256) repeatedly
-picks the patch with the largest remaining foreground set and removes its
-pixels from all other sets.  Observing that
-``|set_i - union(picked)| == |M_i & running|`` for the 0/1 incidence matrix
-M (patch x fg-pixel), each greedy step is one matrix-vector product plus an
-argmax - an MXU-friendly ``lax.while_loop`` instead of Python set algebra.
+Greedy ranked-list cover and thin-out set cover
+(foreground_cover.py:15-256) as single jitted loops over a *running
+coverage volume*: each candidate visit is one dynamic window slice of the
+running mask plus one gather of the patch's affinity column - no incidence
+matrix is materialized and nothing large crosses the host boundary (the
+affinity stack is already on device).
 
-Tie-breaking matches the reference exactly: argmax takes the first maximal
-row, and rows are ordered like the selected-patches list.
+Tie-breaking matches the reference exactly: candidates are visited in
+ranked order; the thin-cover argmax takes the first maximal patch.
 """
 
 from __future__ import annotations
@@ -22,147 +22,110 @@ import numpy as np
 from .np_reference import patch_offsets
 
 
-def build_cover_matrix(affs: np.ndarray, centers: np.ndarray,
-                       mask: np.ndarray, patchshape,
-                       fc_threshold: float = 0.5):
-    """Incidence matrix M (n_patches, n_maskpx) uint8 + the compact pixel
-    index map.
+def _pad_vol(vol, rad):
+    return jnp.pad(vol, [(int(r), int(r)) for r in rad])
 
-    M[i, j] == 1 iff patch i claims mask pixel j (patch prob > fc_threshold
-    within its window, get_patch_sets.py:32-54 semantics).
+
+@functools.partial(jax.jit, static_argnames=("ps", "pix_ths", "fc_threshold"))
+def _greedy_cover_volume(affs, centers, overlap_rows, mask, interior,
+                         ps: tuple, pix_ths: tuple, fc_threshold: float):
+    """Ranked-order greedy cover.
+
+    affs: (P, *vol); centers: (n, ndim) int32 in RANKED order; mask /
+    interior: (*vol) float32.  Returns (selected (n,) bool, running (*vol)).
     """
-    ps = np.asarray(patchshape, dtype=np.int64)
-    rad = ps // 2
-    offs = patch_offsets(ps)
-    mask = np.asarray(mask).astype(bool)
-    vol_shape = np.array(mask.shape)
+    ndim = len(ps)
+    rad = tuple(p // 2 for p in ps)
+    n = centers.shape[0]
 
-    mask_coords = np.argwhere(mask)
-    n_px = len(mask_coords)
-    compact = -np.ones(tuple(vol_shape), dtype=np.int64)
-    compact[tuple(mask_coords.T)] = np.arange(n_px)
+    running0 = _pad_vol(mask, rad)
+    interior_pad = _pad_vol(interior, rad)
+    rem0 = jnp.sum(running0 * interior_pad)
 
-    centers = np.asarray(centers, dtype=np.int64)
-    n = len(centers)
-    M = np.zeros((n, n_px), dtype=np.uint8)
-    if n == 0 or n_px == 0:
-        return M, compact
+    def run_threshold(carry, pix_th):
+        def body(i, st):
+            running, selected, rem = st
+            c = centers[i]
+            col = affs[(slice(None),) + tuple(c[k] for k in range(ndim))]
+            pmask = (col > fc_threshold).astype(jnp.float32).reshape(ps)
+            start = tuple(c[k] for k in range(ndim))
+            win = jax.lax.dynamic_slice(running, start, ps)
+            covered = jnp.sum(pmask * win)
+            take = ((~selected[i]) & (~overlap_rows[i])
+                    & (covered > pix_th) & (rem > 0))
 
-    # vectorized over patches: window pixel coords + in-mask + prob test
-    tgt = centers[:, None, :] + offs[None, :, :] - rad[None, None, :]
-    ok = np.all((tgt >= 0) & (tgt < vol_shape), axis=-1)
-    # patch windows of interior centers are always in bounds; clamp for safety
-    tgtc = np.clip(tgt, 0, vol_shape - 1)
-    cidx = compact[tuple(tgtc.reshape(-1, len(vol_shape)).T)].reshape(n, -1)
-    probs = affs[(slice(None),) + tuple(centers.T)].T  # (n, P)
-    claim = ok & (cidx >= 0) & (probs > fc_threshold)
-    rows = np.repeat(np.arange(n), claim.sum(axis=1))
-    cols = cidx[claim]
-    M[rows, cols] = 1
-    return M, compact
+            def do(st):
+                running, selected, rem = st
+                newly = pmask * win
+                iwin = jax.lax.dynamic_slice(interior_pad, start, ps)
+                rem = rem - jnp.sum(newly * iwin)
+                running = jax.lax.dynamic_update_slice(
+                    running, win - newly, start)
+                return running, selected.at[i].set(True), rem
+
+            return jax.lax.cond(take, do, lambda s: s,
+                                (running, selected, rem))
+
+        return jax.lax.fori_loop(0, n, body, carry), None
+
+    selected0 = jnp.zeros((n,), bool)
+    (running, selected, _), _ = jax.lax.scan(
+        run_threshold, (running0, selected0, rem0),
+        jnp.asarray(pix_ths, jnp.float32))
+    crop = tuple(slice(int(r), running.shape[k] - int(r))
+                 for k, r in enumerate(rad))
+    return selected, running[crop]
 
 
-@functools.partial(jax.jit, static_argnames=("max_picks",))
-def _thin_cover_device(M: jnp.ndarray, interior: jnp.ndarray,
-                       max_picks: int):
-    """Greedy set cover loop on device.
+@functools.partial(jax.jit, static_argnames=("ps", "fc_threshold"))
+def _thin_cover_volume(affs, centers, mask, interior,
+                       ps: tuple, fc_threshold: float):
+    """Greedy set cover: repeatedly take the patch covering the most
+    still-uncovered pixels (first maximal index on ties, like np.argmax)."""
+    ndim = len(ps)
+    rad = tuple(p // 2 for p in ps)
+    n = centers.shape[0]
 
-    M: (n, m) float; interior: (m,) float termination weights.
-    Returns (selected (n,) bool, n_picks).
-    """
-    n, m = M.shape
+    running0 = _pad_vol(mask, rad)
+    interior_pad = _pad_vol(interior, rad)
+
+    pmasks = (affs[(slice(None),) + tuple(
+        centers[:, k] for k in range(ndim))].T
+        > fc_threshold).astype(jnp.float32)           # (n, P)
+
+    def count_one(i, running):
+        start = tuple(centers[i][k] for k in range(ndim))
+        win = jax.lax.dynamic_slice(running, start, ps)
+        return jnp.sum(pmasks[i].reshape(ps) * win)
 
     def cond(state):
-        running, selected, picks, last_size = state
-        return (jnp.sum(running * interior) > 0) & (last_size > 0) \
-            & (picks < max_picks)
+        running, selected, picks, last = state
+        return (jnp.sum(running * interior_pad) > 0) & (last > 0) \
+            & (picks < n)
 
     def body(state):
         running, selected, picks, _ = state
-        sizes = M @ running                       # (n,)
+        sizes = jax.vmap(lambda i: count_one(i, running))(jnp.arange(n))
         best = jnp.argmax(sizes)
         best_size = sizes[best]
 
-        def take(args):
+        def do(args):
             running, selected = args
-            running = running * (1.0 - M[best])
-            selected = selected.at[best].set(True)
-            return running, selected
+            start = tuple(centers[best][k] for k in range(ndim))
+            win = jax.lax.dynamic_slice(running, start, ps)
+            newly = pmasks[best].reshape(ps) * win
+            running = jax.lax.dynamic_update_slice(running, win - newly,
+                                                   start)
+            return running, selected.at[best].set(True)
 
-        running, selected = jax.lax.cond(
-            best_size > 0, take, lambda a: a, (running, selected))
+        running, selected = jax.lax.cond(best_size > 0, do, lambda a: a,
+                                         (running, selected))
         return running, selected, picks + 1, best_size
 
-    running0 = jnp.ones((m,), jnp.float32)
-    selected0 = jnp.zeros((n,), bool)
-    state = jax.lax.while_loop(cond, body,
-                               (running0, selected0, jnp.int32(0),
-                                jnp.float32(1.0)))
+    state = jax.lax.while_loop(
+        cond, body, (running0, jnp.zeros((n,), bool), jnp.int32(0),
+                     jnp.float32(1.0)))
     return state[1], state[2]
-
-
-def thin_out_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
-                          selected_patches: list, patchshape,
-                          fc_threshold: float = 0.5) -> list:
-    """Drop-in replacement for thin_out_cover_reference via the MXU loop."""
-    ps = np.asarray(patchshape, dtype=np.int64)
-    rad = ps // 2
-    if not selected_patches:
-        return []
-    centers = np.array([rp[0] for rp in selected_patches], dtype=np.int64)
-    M, compact = build_cover_matrix(affs, centers, mask_to_cover, ps,
-                                    fc_threshold)
-    n, m = M.shape
-    if m == 0:
-        return []
-    vol_shape = np.array(mask_to_cover.shape)
-    interior_mask = np.zeros(tuple(vol_shape), dtype=bool)
-    interior_sl = tuple(slice(int(r), int(s - r))
-                        for r, s in zip(rad, vol_shape))
-    interior_mask[interior_sl] = True
-    interior = interior_mask[np.asarray(mask_to_cover, dtype=bool)]
-
-    selected, _ = _thin_cover_device(
-        jnp.asarray(M, jnp.float32), jnp.asarray(interior, jnp.float32),
-        max_picks=n)
-    selected = np.asarray(selected)
-    return [rp for i, rp in enumerate(selected_patches) if selected[i]]
-
-
-@functools.partial(jax.jit, static_argnames=("max_steps", "pix_ths"))
-def _greedy_cover_device(M: jnp.ndarray, scores_order: jnp.ndarray,
-                         overlap_rows: jnp.ndarray, interior: jnp.ndarray,
-                         pix_ths: tuple, max_steps: int):
-    """Ranked-list greedy cover (foreground_cover.py:111-180) on device.
-
-    Walks the ranked rows per pixel threshold, selecting a row when it
-    covers more than pix_th uncovered pixels.  M rows are in RANKED order.
-    """
-    n, m = M.shape
-
-    def run_threshold(carry, pix_th):
-        running, selected = carry
-
-        def body(i, state):
-            running, selected = state
-            covered = jnp.sum(M[i] * running)
-            take = ((~selected[i]) & (~overlap_rows[i])
-                    & (covered > pix_th)
-                    & (jnp.sum(running * interior) > 0))
-            running = jnp.where(take, running * (1.0 - M[i]), running)
-            selected = selected.at[i].set(selected[i] | take)
-            return running, selected
-
-        running, selected = jax.lax.fori_loop(0, n, body,
-                                              (running, selected))
-        return (running, selected), None
-
-    running0 = jnp.ones((m,), jnp.float32)
-    selected0 = jnp.zeros((n,), bool)
-    (running, selected), _ = jax.lax.scan(
-        run_threshold, (running0, selected0),
-        jnp.asarray(pix_ths, jnp.float32))
-    return selected, running
 
 
 def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
@@ -170,31 +133,17 @@ def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
                         fc_threshold: float = 0.5,
                         overlap: np.ndarray | None = None,
                         sparse_data: bool = False):
-    """Device-side greedy foreground cover over the ranked patch list.
-
-    Note one semantic deviation from the reference loop: the reference
-    re-checks global coverage before every candidate and stops mid-list;
-    here the coverage check gates each take (identical selections because a
-    fully-covered mask makes every ``covered`` count 0).
-    """
+    """Device-side greedy foreground cover over the ranked patch list."""
     ps = np.asarray(patchshape, dtype=np.int64)
     rad = ps // 2
     if not ranked_patches:
         return [], mask_to_cover.astype(bool).copy()
-    centers = np.array([rp[0] for rp in ranked_patches], dtype=np.int64)
-    M, compact = build_cover_matrix(affs, centers, mask_to_cover, ps,
-                                    fc_threshold)
-    n, m = M.shape
-    if m == 0:
-        return [], mask_to_cover.astype(bool).copy()
+    centers = np.array([rp[0] for rp in ranked_patches], dtype=np.int32)
+    n = len(centers)
     vol_shape = np.array(mask_to_cover.shape)
-    interior_mask = np.zeros(tuple(vol_shape), dtype=bool)
-    interior_sl = tuple(slice(int(r), int(s - r))
-                        for r, s in zip(rad, vol_shape))
-    interior_mask[interior_sl] = True
-    mask_b = np.asarray(mask_to_cover, dtype=bool)
-    interior = interior_mask[mask_b]
-
+    interior = np.zeros(tuple(vol_shape), dtype=np.float32)
+    interior[tuple(slice(int(r), int(s - r))
+                   for r, s in zip(rad, vol_shape))] = 1.0
     if overlap is not None:
         overlap_rows = np.asarray(overlap)[tuple(centers.T)] > 0
     else:
@@ -204,16 +153,36 @@ def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
     pix_ths = (0,) if sparse_data else tuple(
         t for t in (500, 100, 50, 10, 0) if t < mid)
 
-    selected, running = _greedy_cover_device(
-        jnp.asarray(M, jnp.float32),
-        jnp.arange(n),
+    selected, running = _greedy_cover_volume(
+        jnp.asarray(affs), jnp.asarray(centers),
         jnp.asarray(overlap_rows),
-        jnp.asarray(interior, jnp.float32),
-        pix_ths, max_steps=n)
+        jnp.asarray(mask_to_cover, jnp.float32),
+        jnp.asarray(interior),
+        tuple(int(p) for p in ps), pix_ths, float(fc_threshold))
     selected = np.asarray(selected)
-    running = np.asarray(running) > 0.5
-
-    running_vol = np.zeros(tuple(vol_shape), dtype=bool)
-    running_vol[mask_b] = running
+    running_vol = np.asarray(running) > 0.5
     out = [rp for i, rp in enumerate(ranked_patches) if selected[i]]
     return out, running_vol
+
+
+def thin_out_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
+                          selected_patches: list, patchshape,
+                          fc_threshold: float = 0.5) -> list:
+    """Drop-in replacement for thin_out_cover_reference."""
+    ps = np.asarray(patchshape, dtype=np.int64)
+    rad = ps // 2
+    if not selected_patches:
+        return []
+    centers = np.array([rp[0] for rp in selected_patches], dtype=np.int32)
+    vol_shape = np.array(mask_to_cover.shape)
+    interior = np.zeros(tuple(vol_shape), dtype=np.float32)
+    interior[tuple(slice(int(r), int(s - r))
+                   for r, s in zip(rad, vol_shape))] = 1.0
+
+    selected, _ = _thin_cover_volume(
+        jnp.asarray(affs), jnp.asarray(centers),
+        jnp.asarray(mask_to_cover, jnp.float32),
+        jnp.asarray(interior),
+        tuple(int(p) for p in ps), float(fc_threshold))
+    selected = np.asarray(selected)
+    return [rp for i, rp in enumerate(selected_patches) if selected[i]]

@@ -5,8 +5,7 @@ import pytest
 
 from patchperpix_tpu.ops import np_reference as ref
 from patchperpix_tpu.ops import synthetic
-from patchperpix_tpu.ops.cover import (build_cover_matrix,
-                                       greedy_cover_device,
+from patchperpix_tpu.ops.cover import (greedy_cover_device,
                                        thin_out_cover_device)
 
 
@@ -32,18 +31,6 @@ def _ranked(affs, fg, ps):
                    for r, s in zip(rad, fg.shape))] = True
     allp = [tuple(c) for c in np.argwhere(fg & interior)]
     return ref.rank_patch_list(allp, scores)
-
-
-def test_build_cover_matrix_counts():
-    ps = np.array([1, 5, 5])
-    labels, affs, fg = _case()
-    centers = np.argwhere(fg)[:5]
-    M, compact = build_cover_matrix(affs, centers, fg, ps, 0.5)
-    assert M.shape == (5, int(fg.sum()))
-    # each row's count equals the reference patch fg set size
-    for i, c in enumerate(centers):
-        s = ref.patch_fg_set(c, affs, fg, ps, 0.5)
-        assert M[i].sum() == len(s)
 
 
 @pytest.mark.parametrize("sparse", [True, False])

@@ -51,9 +51,9 @@ def test_sharded_matches_single_device(n_dev):
 def test_sharded_with_overlap_mask():
     mesh = _cpu_mesh(4)
     cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
-    affs = _random_affs((8, 6, 7), 27, seed=5)
-    overlap = np.zeros((8, 6, 7), dtype=bool)
-    overlap[3:5, 2:4, 2:5] = True
+    affs = _random_affs((12, 6, 7), 27, seed=5)
+    overlap = np.zeros((12, 6, 7), dtype=bool)
+    overlap[3:7, 2:4, 2:5] = True
 
     cpu0 = jax.local_devices(backend="cpu")[0]
     cons_ref = np.asarray(consensus_array(
