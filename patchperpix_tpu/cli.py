@@ -518,6 +518,65 @@ def cross_validate(args, config, paths):
 
 
 @time_func
+def evaluate_prediction(args, config, paths, mode=None, checkpoint=None):
+    """Prediction-only metrics: numinst / fg / patch-IoU with the oracle
+    volume written back (run_ppp.py:1300-1443)."""
+    from .evaluate import evaluate_fg, evaluate_numinst, evaluate_patch
+    from .train.data import load_sample
+
+    mode = mode or args.mode
+    checkpoint = checkpoint or _resolve_checkpoint(args, config, paths)
+    proc = os.path.join(paths[f"{mode}_processed"], str(checkpoint))
+    data = config.get("data", {})
+    data_dir = _data_dir_for_mode(args, config, mode)
+    evp = config.get("evaluation", {}).get("prediction", {})
+    model_cfg = config.get("model", {})
+    ps = tuple(model_cfg.get("patchshape", (7, 7, 7)))
+
+    out = {}
+    for path in sorted(glob.glob(os.path.join(proc, "*.zarr"))):
+        s = os.path.splitext(os.path.basename(path))[0]
+        if args.sample and s != args.sample:
+            continue
+        io = vio.open_volume(path, mode="r")
+        sd = load_sample(
+            os.path.join(data_dir, s + "." + data.get("input_format",
+                                                      "zarr")),
+            data.get("raw_key", "volumes/raw"),
+            data.get("gt_key", "volumes/gt_instances"))
+        res: dict = {}
+        if evp.get("eval_patch_prediction") and \
+                not model_cfg.get("train_code"):
+            affs = io.read(key=config.get("prediction", {}).get(
+                "aff_key", "volumes/pred_affs")).astype(np.float32)
+            res["patch"] = {
+                k: {kk: vv for kk, vv in v.items() if kk != "iou_volume"}
+                for k, v in evaluate_patch(affs, sd.labels, ps).items()}
+        if evp.get("eval_numinst_prediction") and \
+                model_cfg.get("overlapping_inst"):
+            ni = io.read(key=config.get("prediction", {}).get(
+                "numinst_key", "volumes/pred_numinst")).astype(np.float32)
+            res["numinst"] = evaluate_numinst(
+                ni, sd.labels, evp.get("max_numinst", 2))
+        if evp.get("eval_fg_prediction"):
+            key = config.get("prediction", {}).get("fg_key",
+                                                   "volumes/pred_fgbg")
+            try:
+                fg_prob = io.read(key=key).astype(np.float32)[0]
+            except Exception:
+                ni = io.read(key=config.get("prediction", {}).get(
+                    "numinst_key", "volumes/pred_numinst")).astype(
+                        np.float32)
+                fg_prob = 1.0 - ni[0]
+            res["fg"] = evaluate_fg(fg_prob, sd.fg_mask)
+        io.close()
+        out[s] = res
+        with open(os.path.join(proc, s + "_pred_metrics.json"), "w") as f:
+            json.dump(res, f, indent=2, default=float)
+    return out
+
+
+@time_func
 def postprocess(args, config, paths):
     """Small-component removal over instanced outputs (run_ppp.py:2230-2259)."""
     import h5py

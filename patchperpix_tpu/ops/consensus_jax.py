@@ -365,23 +365,18 @@ def _graph_gather_tables(cfg: ConsensusConfig):
     return offs, dp
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "drop_intersection"))
-def patch_graph_weights(
+@functools.partial(jax.jit, static_argnames=("cfg", "drop_intersection",
+                                              "n_unique"))
+def _patch_graph_weights_jit(
     affs: jnp.ndarray,
     cons_sym: jnp.ndarray,
-    pairs: jnp.ndarray,
+    centers: jnp.ndarray,        # (n_unique, ndim) int32 unique patch centers
+    id_pairs: jnp.ndarray,       # (n_pairs, 2) int32 indices into centers
     cfg: ConsensusConfig,
+    n_unique: int,
     seed: int = 0,
     drop_intersection: bool = True,
 ) -> jnp.ndarray:
-    """Affinity weight per candidate patch pair (computePatchGraph.cu).
-
-    ``cons_sym`` must be the symmetrized consensus.  Intersection pixels
-    (within both patches' reach) are kept with probability 0.2 via a
-    stateless per-(pair, p1, p2) PRNG (the CUDA kernel uses a sequential LCG;
-    order-dependence makes bit parity impossible in a parallel formulation,
-    the keep-probability is identical).
-    """
     ps, rad = cfg.ps, cfg.rad
     ndim = len(ps)
     P = cfg.P
@@ -397,46 +392,62 @@ def patch_graph_weights(
     strides_j = jnp.asarray(strides, jnp.int32)
 
     fg = (affs[cfg.mid] > th).astype(jnp.float32)
-    # pad spatial axes by rad so the per-center fg window slice is in bounds
     fg_pad = jnp.pad(fg, [(int(r), int(r)) for r in rad])
     neigh = cfg.neigh
     n_off = int(np.prod(neigh))
-    # flat consensus view: the per-pair P^2 reads are one 1-D gather with
-    # indices = static (p1, p2) table + a per-pair scalar offset
-    cons_flat = cons_sym.reshape(-1)
+    blk_sp = tuple(int(p) for p in ps)
+    blk_len = int(np.prod(blk_sp))
+
+    # Per-UNIQUE-patch precompute (pairs share endpoints ~40x):
+    #   window consensus PK[i] = S[:, window(c_i)]  (n_off, ps^ndim)
+    #   hi mask and fg window per patch
+    cons_sp_pad = jnp.pad(
+        cons_sym.reshape((n_off,) + tuple(int(v) for v in vol_shape)),
+        [(0, 0)] + [(int(r), int(r)) for r in rad])
+
+    def per_patch(c):
+        c = c.astype(jnp.int32)
+        pk = jax.lax.dynamic_slice(
+            cons_sp_pad, (0,) + tuple(c[k] for k in range(ndim)),
+            (n_off,) + blk_sp).reshape(n_off * blk_len)
+        v = affs[(slice(None),) + tuple(c[k] for k in range(ndim))]
+        win = jax.lax.dynamic_slice(fg_pad, tuple(c[k] for k in range(ndim)),
+                                    blk_sp)
+        hi = (v > th) * win.reshape(-1)
+        return pk, hi
+
+    PK, HIs = jax.lax.map(per_patch, centers.astype(jnp.int32),
+                          batch_size=8)
+
+    # static part of the gather index: flat (d-block, p1-position) for each
+    # (p1, p2); the per-pair center offset enters as one scalar addend per
+    # axis via the d strides
+    ps_np = np.asarray(cfg.ps)
+    base_d = dp + (ps_np - 1)[None, None, :]        # (P,P,ndim) in 0..2ps-2
     d_strides = np.array([int(np.prod(neigh[i + 1:])) for i in range(ndim)])
-    vol_len = int(np.prod(vol_shape))
-    d_strides_j = jnp.asarray(d_strides * vol_len, jnp.int32)
-    sp_strides_j = jnp.asarray(strides, jnp.int32)
+    static_flat = (base_d @ d_strides) * blk_len \
+        + (patch_offsets(ps_np) @ np.array(
+            [int(np.prod(blk_sp[i + 1:])) for i in range(ndim)]))[:, None]
+    static_flat_j = jnp.asarray(static_flat, jnp.int32)
+    d_strides_j = jnp.asarray(d_strides * blk_len, jnp.int32)
+    n_total = n_off * blk_len
 
-    def one_pair(pair):
-        c1 = pair[:ndim].astype(jnp.int32)
-        c2 = pair[ndim:].astype(jnp.int32)
+    def one_pair(idx_pair):
+        i, j = idx_pair[0], idx_pair[1]
+        c1 = centers[i].astype(jnp.int32)
+        c2 = centers[j].astype(jnp.int32)
         dc = c2 - c1
+        hi1, hi2 = HIs[i], HIs[j]
 
-        v1 = affs[(slice(None),) + tuple(c1)]
-        v2 = affs[(slice(None),) + tuple(c2)]
-        # fg windows around each center (padded -> start = c - rad + rad = c)
-        win1 = jax.lax.dynamic_slice(fg_pad, tuple(c1), tuple(int(p) for p in ps))
-        win2 = jax.lax.dynamic_slice(fg_pad, tuple(c2), tuple(int(p) for p in ps))
-        hi1 = (v1 > th) * win1.reshape(-1)
-        hi2 = (v2 > th) * win2.reshape(-1)
-
-        # consensus values S[dc + dp + ps-1][c1 + p1 - rad] via one flat
-        # gather; out-of-range offsets are clipped and masked by in_read
-        dt = dc[None, None, :] + dp_j              # (P, P, ndim) total offset
+        dt = dc[None, None, :] + dp_j              # (P, P, ndim)
         in_read = jnp.all((dt >= -(ps_j - 1)[None, None])
                           & (dt <= (ps_j - 1)[None, None]), axis=-1)
-        d_idx = jnp.clip(dt + (ps_j - 1)[None, None],
-                         0, jnp.asarray(neigh - 1, jnp.int32)[None, None])
+        off = jnp.sum(dc * d_strides_j)
+        flat_idx = jnp.clip(static_flat_j + off, 0, n_total - 1)
+        vals = jnp.take(PK[i], flat_idx)           # (P1, P2)
+
         x1 = c1[None, None, :] + offs_j[:, None, :] - rad_j
         x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
-        vol_max = jnp.asarray(vol_shape - 1, jnp.int32)
-        x1c = jnp.clip(x1, 0, vol_max[None, None])
-        flat_idx = (jnp.sum(d_idx * d_strides_j, axis=-1)
-                    + jnp.sum(x1c * sp_strides_j, axis=-1))
-        vals = jnp.take(cons_flat, flat_idx)       # (P1, P2)
-        # fgCnt bound is asymmetric in the canonical (lex-ordered) direction
         g1 = jnp.sum(x1 * strides_j, axis=-1)
         g2 = jnp.sum(x2 * strides_j, axis=-1)
         fwd = (g1 <= g2)[..., None]
@@ -444,7 +455,6 @@ def patch_graph_weights(
         hi_b = jnp.where(fwd, ps_j[None, None], (ps_j - 1)[None, None])
         in_cnt = jnp.all((dt >= lo_b) & (dt <= hi_b), axis=-1)
 
-        # intersection drop (x1 within reach of c2 and x2 within reach of c1)
         inter = (jnp.all(jnp.abs(x1 - c2[None, None, :]) <= rad_j, axis=-1)
                  & jnp.all(jnp.abs(x2 - c1[None, None, :]) <= rad_j, axis=-1))
         if drop_intersection:
@@ -463,4 +473,37 @@ def patch_graph_weights(
             return acc / jnp.maximum(1.0, fg_cnt)
         return acc
 
-    return jax.lax.map(one_pair, pairs.astype(jnp.int32), batch_size=64)
+    return jax.lax.map(one_pair, id_pairs.astype(jnp.int32), batch_size=64)
+
+
+def patch_graph_weights(
+    affs: jnp.ndarray,
+    cons_sym: jnp.ndarray,
+    pairs: jnp.ndarray,
+    cfg: ConsensusConfig,
+    seed: int = 0,
+    drop_intersection: bool = True,
+) -> jnp.ndarray:
+    """Affinity weight per candidate patch pair (computePatchGraph.cu).
+
+    ``cons_sym`` must be the symmetrized consensus.  Pairs are decomposed
+    into unique patch centers (each patch participates in ~dozens of pairs)
+    so the expensive consensus-window slice and hi-mask build happen once
+    per PATCH; each pair is then one gather from its patch's small window
+    plus a masked contraction.
+
+    Intersection pixels (within both patches' reach) are kept with
+    probability 0.2 via a stateless per-(pair, p1, p2) PRNG (the CUDA
+    kernel uses a sequential LCG; order-dependence makes bit parity
+    impossible in a parallel formulation, the keep-probability matches).
+    """
+    ndim = len(cfg.ps)
+    pairs = np.asarray(pairs)
+    flat = np.concatenate([pairs[:, :ndim], pairs[:, ndim:]], axis=0)
+    centers, inv = np.unique(flat, axis=0, return_inverse=True)
+    n_pairs = len(pairs)
+    id_pairs = np.stack([inv[:n_pairs], inv[n_pairs:]], axis=1)
+    return _patch_graph_weights_jit(
+        affs, cons_sym, jnp.asarray(centers, jnp.int32),
+        jnp.asarray(id_pairs, jnp.int32), cfg, n_unique=len(centers),
+        seed=seed, drop_intersection=drop_intersection)

@@ -236,6 +236,20 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             log_f.write(json.dumps(vmets) + "\n")
             log_f.flush()
 
+        if tcfg.snapshots and step % tcfg.snapshots == 0:
+            # periodic raw/gt snapshot hdf (gp.Snapshot, train.py:539-547)
+            import h5py
+
+            snap_dir = os.path.join(tcfg.output_folder, "snapshots")
+            os.makedirs(snap_dir, exist_ok=True)
+            with h5py.File(os.path.join(
+                    snap_dir, f"snapshot_{step}.hdf"), "w") as f:
+                f.create_dataset("volumes/raw", data=np.asarray(raw),
+                                 compression="gzip")
+                f.create_dataset("volumes/gt_labels",
+                                 data=np.asarray(labels),
+                                 compression="gzip")
+
         if tcfg.use_swa and step >= tcfg.swa_start \
                 and (step - tcfg.swa_start) % tcfg.swa_freq == 0:
             n = state.get("swa_n", 0)
