@@ -418,19 +418,20 @@ def _patch_graph_weights_jit(
 
     PK, HIs = jax.lax.map(per_patch, centers.astype(jnp.int32),
                           batch_size=8)
+    PK3 = PK.reshape((n_unique,) + tuple(int(v) for v in neigh) + (blk_len,))
 
-    # static part of the gather index: flat (d-block, p1-position) for each
-    # (p1, p2); the per-pair center offset enters as one scalar addend per
-    # axis via the d strides
+    # MXU formulation: acc = sum_{p1,p2} m[p1,p2] * S[dc + dp(p1,p2)][x1]
+    # = einsum(m, ONE_HOT)[p1, k] . PK_shifted[k, p1], where ONE_HOT is the
+    # STATIC (P, P, n_off) indicator of k == ravel(dp + ps - 1) and the
+    # per-pair dc enters as a zero-fill shift of the patch's consensus
+    # window over its offset axes.  Turns 2.4e9 random gathers into batched
+    # bf16 matmuls.
     ps_np = np.asarray(cfg.ps)
     base_d = dp + (ps_np - 1)[None, None, :]        # (P,P,ndim) in 0..2ps-2
     d_strides = np.array([int(np.prod(neigh[i + 1:])) for i in range(ndim)])
-    static_flat = (base_d @ d_strides) * blk_len \
-        + (patch_offsets(ps_np) @ np.array(
-            [int(np.prod(blk_sp[i + 1:])) for i in range(ndim)]))[:, None]
-    static_flat_j = jnp.asarray(static_flat, jnp.int32)
-    d_strides_j = jnp.asarray(d_strides * blk_len, jnp.int32)
-    n_total = n_off * blk_len
+    K_static = (base_d @ d_strides).astype(np.int32)          # (P, P)
+    ONE_HOT = jax.nn.one_hot(jnp.asarray(K_static), n_off,
+                             dtype=jnp.bfloat16)              # (P, P, n_off)
 
     def one_pair(idx_pair):
         i, j = idx_pair[0], idx_pair[1]
@@ -440,11 +441,6 @@ def _patch_graph_weights_jit(
         hi1, hi2 = HIs[i], HIs[j]
 
         dt = dc[None, None, :] + dp_j              # (P, P, ndim)
-        in_read = jnp.all((dt >= -(ps_j - 1)[None, None])
-                          & (dt <= (ps_j - 1)[None, None]), axis=-1)
-        off = jnp.sum(dc * d_strides_j)
-        flat_idx = jnp.clip(static_flat_j + off, 0, n_total - 1)
-        vals = jnp.take(PK[i], flat_idx)           # (P1, P2)
 
         x1 = c1[None, None, :] + offs_j[:, None, :] - rad_j
         x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
@@ -467,7 +463,16 @@ def _patch_graph_weights_jit(
             keep = jnp.ones((P, P), dtype=bool)
 
         m = hi1[:, None] * hi2[None, :] * keep
-        acc = jnp.sum(m * in_read * vals)
+        # value sum on the MXU: out-of-range offsets read zeros from the
+        # zero-fill shift, so no in_read gate is needed for the values
+        A = jnp.einsum("pq,pqk->pk", m.astype(jnp.bfloat16), ONE_HOT,
+                       preferred_element_type=jnp.float32)
+        pk_shift = _shift_nd(PK3[i],
+                             tuple(-dc[k] for k in range(ndim)),
+                             tuple(range(ndim)))
+        pk_mat = pk_shift.reshape(n_off, blk_len)  # [k, p1-position]
+        acc = jnp.einsum("pk,kp->", A, pk_mat,
+                         preferred_element_type=jnp.float32)
         fg_cnt = jnp.sum(m * in_cnt)
         if cfg.norm_graph:
             return acc / jnp.maximum(1.0, fg_cnt)
