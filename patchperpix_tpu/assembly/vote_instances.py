@@ -27,6 +27,8 @@ from ..ops import np_reference as ref
 from ..ops.consensus_jax import (ConsensusConfig, consensus_array,
                                  patch_graph_weights, rank_scores,
                                  symmetrize_consensus)
+from ..ops.pallas_consensus import (consensus_array_pallas,
+                                    pallas_supported)
 from ..ops.cover import greedy_cover_device, thin_out_cover_device
 from ..utils import io as vio
 from ..utils.postprocess import remove_small_components
@@ -178,7 +180,9 @@ def to_instance_seg(
         return _maybe_unpad(instances, foreground, rad, params)
 
     ccfg = params.consensus_config()
-    use_jax = params.engine == "jax"
+    use_jax = params.engine in ("jax", "pallas")
+    use_pallas = (params.engine == "pallas"
+                  and pallas_supported(params.consensus_config()))
     _t_stage = time.perf_counter()
 
     # (1) consensus (bool mask: integer masks defeat XLA mask fusion).
@@ -191,7 +195,13 @@ def to_instance_seg(
         pred_affs_dev = jax.device_put(pred_affs)
         if overlap_arg is not None:
             overlap_arg = jax.device_put(overlap_arg)
-        cons = consensus_array(pred_affs_dev, ccfg, overlap=overlap_arg)
+        if use_pallas:
+            # the pallas kernel emits the SYMMETRIZED consensus directly
+            # (canonical half identical; no separate symmetrize pass)
+            cons = consensus_array_pallas(pred_affs_dev, ccfg,
+                                          overlap=overlap_arg)
+        else:
+            cons = consensus_array(pred_affs_dev, ccfg, overlap=overlap_arg)
         cons_np = None
     else:
         cons_np, _ = ref.consensus_reference(
@@ -283,7 +293,7 @@ def to_instance_seg(
         return _maybe_unpad(instances, foreground, rad, params)
 
     if use_jax:
-        sym = symmetrize_consensus(cons, ccfg)
+        sym = cons if use_pallas else symmetrize_consensus(cons, ccfg)
         weights = np.asarray(patch_graph_weights(
             pred_affs_dev, sym, pairs, ccfg, seed=params.seed,
             drop_intersection=params.removeIntersection))

@@ -1,0 +1,59 @@
+"""Pallas consensus kernel vs the XLA scan formulation."""
+
+import numpy as np
+import pytest
+
+from patchperpix_tpu.assembly import VoteInstancesParams, to_instance_seg
+from patchperpix_tpu.ops import synthetic
+from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
+                                               consensus_array,
+                                               symmetrize_consensus)
+from patchperpix_tpu.ops.pallas_consensus import consensus_array_pallas
+from patchperpix_tpu.utils.postprocess import relabel
+
+
+def _random_affs(shape, P, seed=0):
+    rng = np.random.RandomState(seed)
+    affs = rng.rand(P, *shape).astype(np.float32)
+    return np.where(affs > 0.5, 0.6 + 0.4 * affs, 0.4 * affs).astype(
+        np.float32)
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"weight_mode": "count", "norm_aff": False},
+    {"weight_mode": "prob_product"},
+])
+def test_pallas_equals_symmetrized_xla(kwargs):
+    affs = _random_affs((8, 9, 10), 27, seed=1)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), **kwargs)
+    v1 = consensus_array(affs, cfg)
+    sym = np.asarray(symmetrize_consensus(v1, cfg))
+    out = np.asarray(consensus_array_pallas(affs, cfg))
+    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_overlap_variant():
+    affs = _random_affs((8, 9, 10), 27, seed=2)
+    ov = np.zeros((8, 9, 10), bool)
+    ov[3:5, 3:6, 2:5] = True
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
+    sym = np.asarray(symmetrize_consensus(
+        consensus_array(affs, cfg, overlap=ov), cfg))
+    out = np.asarray(consensus_array_pallas(affs, cfg, overlap=ov))
+    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_pallas_engine_matches_jax():
+    labels = synthetic.two_blob_labels_3d()
+    ps = (3, 3, 3)
+    affs = synthetic.labels_to_affinities(labels, np.array(ps))
+    fg = affs[13] > 0.5
+    res = {}
+    for engine in ("jax", "pallas"):
+        params = VoteInstancesParams(patchshape=ps, engine=engine,
+                                     removeIntersection=False)
+        inst, _ = to_instance_seg(affs, fg, fg.copy(),
+                                  fg.astype(np.uint8), params)
+        res[engine] = relabel(inst)
+    np.testing.assert_array_equal(res["jax"], res["pallas"])
