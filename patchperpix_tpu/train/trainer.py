@@ -89,9 +89,16 @@ def make_optimizer(cfg: TrainConfig):
 
 
 def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
-                    optimizer):
+                    optimizer, mesh=None, raw_spec=None, labels_spec=None):
     """Returns jitted step(params, opt_state, raw, labels, rng) ->
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics).
+
+    With ``mesh`` the step is compiled data-parallel (GSPMD): params and
+    optimizer state replicated, batches sharded over the mesh's first axis
+    (override per-array layouts with ``raw_spec``/``labels_spec``, e.g. add
+    a spatial axis); XLA inserts the gradient all-reduce over ICI.  This is
+    the TPU-native translation of the reference's single-GPU train loop
+    (SURVEY §2.6: pjit over a data axis, psum for grads)."""
     ps = mcfg.patchshape_squeezed
     max_ni = mcfg.max_num_inst
 
@@ -149,7 +156,6 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
                               pred_fg_prob, gt_fg_metric))
         return loss, mets
 
-    @jax.jit
     def step(params, opt_state, raw, labels, rng):
         (loss, mets), grads = jax.value_and_grad(
             compute_losses, has_aux=True)(params, raw, labels, rng)
@@ -157,23 +163,64 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, mets
 
-    @jax.jit
     def eval_step(params, raw, labels, rng):
         _, mets = compute_losses(params, raw, labels, rng)
         return mets
 
+    if mesh is None:
+        return jax.jit(step), jax.jit(eval_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    raw_sh = NamedSharding(mesh, raw_spec if raw_spec is not None
+                           else P(data_axis))
+    labels_sh = NamedSharding(mesh, labels_spec if labels_spec is not None
+                              else P(data_axis))
+    step = jax.jit(step,
+                   in_shardings=(repl, repl, raw_sh, labels_sh, repl),
+                   out_shardings=(repl, repl, repl))
+    eval_step = jax.jit(eval_step,
+                        in_shardings=(repl, raw_sh, labels_sh, repl),
+                        out_shardings=repl)
     return step, eval_step
+
+
+def make_data_mesh(num_devices: int | None = None, backend: str | None = None):
+    """1-D data-parallel mesh over the available devices (axis "dp")."""
+    from jax.sharding import Mesh
+
+    devices = (jax.local_devices(backend=backend) if backend
+               else jax.devices())
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), ("dp",))
 
 
 def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
                 prefetcher, val_batch_fn=None, init_raw=None,
-                rng_seed: int = 42) -> dict:
+                rng_seed: int = 42, mesh=None) -> dict:
     """Run training to ``max_iterations``, resuming from the latest
     checkpoint.  Returns the final state dict (params / opt_state / step,
-    plus swa_params when enabled)."""
+    plus swa_params when enabled).
+
+    ``mesh``: optional jax.sharding.Mesh for data-parallel training — the
+    batch is sharded over the mesh's first axis, params/opt replicated, and
+    the jitted step all-reduces grads over ICI (make_train_step)."""
     os.makedirs(tcfg.output_folder, exist_ok=True)
     rng = jax.random.PRNGKey(rng_seed)
     optimizer = make_optimizer(tcfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl_sh = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        put_data = lambda x: jax.device_put(jnp.asarray(x), data_sh)
+    else:
+        repl_sh = None
+        put_data = jnp.asarray
 
     if init_raw is None:
         raw0, labels0 = prefetcher.next()
@@ -186,6 +233,9 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     params = model.init(init_rng, jnp.asarray(raw0),
                         method=PPPModel.full_init)
     opt_state = optimizer.init(params)
+    if repl_sh is not None:
+        params = jax.device_put(params, repl_sh)
+        opt_state = jax.device_put(opt_state, repl_sh)
     state = {"params": params, "opt_state": opt_state, "step": 0}
     if tcfg.use_swa:
         state["swa_params"] = jax.tree.map(jnp.copy, params)
@@ -196,8 +246,12 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
         logger.info("resuming from %s", latest)
         state = load_checkpoint(latest, state)
         state["step"] = latest_step
+        if repl_sh is not None:
+            state["params"] = jax.device_put(state["params"], repl_sh)
+            state["opt_state"] = jax.device_put(state["opt_state"], repl_sh)
 
-    step_fn, eval_fn = make_train_step(model, mcfg, tcfg, optimizer)
+    step_fn, eval_fn = make_train_step(model, mcfg, tcfg, optimizer,
+                                       mesh=mesh)
     params, opt_state = state["params"], state["opt_state"]
     step = int(state["step"])
 
@@ -212,8 +266,8 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             raw, labels = prefetcher.next()
         rng, step_rng = jax.random.split(rng)
         params, opt_state, mets = step_fn(params, opt_state,
-                                          jnp.asarray(raw),
-                                          jnp.asarray(labels), step_rng)
+                                          put_data(raw),
+                                          put_data(labels), step_rng)
         step += 1
 
         if step % tcfg.log_every == 0 or step == 1:
@@ -229,8 +283,8 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
                 and val_batch_fn is not None:
             vraw, vlabels = val_batch_fn()
             rng, vrng = jax.random.split(rng)
-            vmets = eval_fn(params, jnp.asarray(vraw),
-                            jnp.asarray(vlabels), vrng)
+            vmets = eval_fn(params, put_data(vraw),
+                            put_data(vlabels), vrng)
             vmets = {f"val_{k}": float(v) for k, v in vmets.items()}
             vmets["step"] = step
             log_f.write(json.dumps(vmets) + "\n")

@@ -83,11 +83,11 @@ def _model_cfg(train_code=False):
         overlapping_inst=False, padding="same")
 
 
-def _sampler_same_padding(**kw):
+def _sampler_same_padding(batch_size=2, **kw):
     # "same"-padding models: network output shape == input shape
     cfg = SamplerConfig(
         input_shape=(32, 32), output_shape=(32, 32), patchshape=(5, 5),
-        batch_size=2,
+        batch_size=batch_size,
         augment=AugmentConfig(probability_overlay=0.3, elastic=False), **kw)
     return CropSampler([_toy_sample(0), _toy_sample(1)], cfg)
 
@@ -164,3 +164,66 @@ def test_swa_averaging(tmp_path):
     l_final = jax.tree.leaves(state["params"])[0]
     l_swa = jax.tree.leaves(state["swa_params"])[0]
     assert not np.allclose(np.asarray(l_final), np.asarray(l_swa))
+
+
+def test_sharded_train_step_matches_single_device():
+    """Data-parallel step on the 8-device CPU mesh == single-device step.
+
+    Validates the production mesh path of make_train_step/train_until
+    (grad all-reduce over the mesh must reproduce the unsharded update)."""
+    from patchperpix_tpu.train.trainer import make_data_mesh
+
+    mcfg = _model_cfg(False)
+    model = PPPModel(mcfg)
+    # SGD so the param update is linear in the grads: the comparison then
+    # sees the grad all-reduce itself, not Adam's sign-amplified noise
+    # (batch-partitioned CPU convs differ at ~1e-6 per element).
+    tcfg = TrainConfig(lr=1e-3, optimizer="sgd")
+    optimizer = make_optimizer(tcfg)
+    s = _sampler_same_padding(batch_size=8)
+    raw, labels = s.batch(max_gt_channels=4)
+    raw_j, labels_j = jnp.asarray(raw), jnp.asarray(labels)
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, raw_j, method=PPPModel.full_init)
+    opt_state = optimizer.init(params)
+
+    step_single, _ = make_train_step(model, mcfg, tcfg, optimizer)
+    p1, o1, m1 = step_single(params, opt_state, raw_j, labels_j, rng)
+
+    mesh = make_data_mesh(num_devices=8, backend="cpu")
+    step_sharded, _ = make_train_step(model, mcfg, tcfg, optimizer,
+                                      mesh=mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data_sh = NamedSharding(mesh, P("dp"))
+    p2, o2, m2 = step_sharded(params, opt_state,
+                              jax.device_put(raw_j, data_sh),
+                              jax.device_put(labels_j, data_sh), rng)
+
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]),
+                       rtol=1e-3, atol=1e-3)
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_train_until_with_mesh(tmp_path):
+    """train_until itself runs data-parallel on the CPU mesh."""
+    from patchperpix_tpu.train.trainer import make_data_mesh
+
+    mcfg = _model_cfg(False)
+    model = PPPModel(mcfg)
+    s = _sampler_same_padding(batch_size=8)
+    tcfg = TrainConfig(max_iterations=3, checkpoints=3, snapshots=0,
+                       lr=1e-3, output_folder=str(tmp_path), log_every=1)
+    mesh = make_data_mesh(num_devices=8, backend="cpu")
+
+    class _P:
+        def next(self):
+            return s.batch(max_gt_channels=4)
+
+    state = train_until(model, mcfg, tcfg, _P(), mesh=mesh)
+    assert state["step"] == 3
+    assert get_latest_checkpoint(str(tmp_path))[1] == 3
