@@ -15,8 +15,20 @@ from ..ops.np_reference import patch_offsets
 
 
 def sparsify_patches(all_patches, stride: int = 20):
-    """Keep every ``stride``-th candidate patch (isbi_hacks.py:10-16)."""
-    return [p for i, p in enumerate(all_patches) if i % stride == 0]
+    """Keep patches on the sparse coordinate grid ``coord % stride == 1``
+    (every axis), matching isbi_hacks.py:10-14 (``np.all(p % 20 == 1)``) —
+    a fixed grid over the volume, NOT every Nth list element."""
+    return [p for p in all_patches
+            if np.all(np.asarray(p) % stride == 1)]
+
+
+def keep_single_slice(foreground: np.ndarray) -> np.ndarray:
+    """ISBI one-slice hack: keep only z-slice 1 as foreground
+    (vote_instances.py:215-218)."""
+    out = foreground.copy()
+    out[0] = 0
+    out[2:] = 0
+    return out
 
 
 def filter_instance_boundaries_from_fg(

@@ -56,6 +56,11 @@ class VoteInstancesParams:
     includeSinglePatchCCS: bool = True
     removeIntersection: bool = True
     one_instance_per_channel: bool = False
+    no_overlap_per_channel: bool = False
+    isbi_hack: bool = False
+    isbi_sparsify_stride: int = 20
+    select_patches_overlap_neighborhood: bool = False
+    mark_close_neighboorhood: bool = False  # reference spelling
     overlapping_inst: bool = False
     pad_with_ps: bool = False
     consensus_norm_prob_product: bool = True
@@ -168,6 +173,13 @@ def to_instance_seg(
     overlap_mask = (numinst > 1).astype(np.uint8)
     mask_to_cover = mask_to_cover.astype(bool).copy()
 
+    # ISBI one-slice hack (vote_instances.py:215-218)
+    if params.isbi_hack and vol_shape[0] > 1:
+        from .isbi_hacks import keep_single_slice
+
+        foreground = keep_single_slice(foreground)
+        mask_to_cover = keep_single_slice(mask_to_cover)
+
     if not params.blockwise and params.skeletonize_foreground:
         mask_to_cover = skeletonize(mask_to_cover) > 0
     mask_to_cover[overlap_mask > 0] = False
@@ -231,6 +243,16 @@ def to_instance_seg(
     interior = np.zeros(vol_shape, dtype=bool)
     interior[radslice] = True
     all_patches = [tuple(c) for c in np.argwhere(foreground & interior)]
+    if params.isbi_hack:
+        from .isbi_hacks import (filter_instance_boundaries_from_fg,
+                                 sparsify_patches)
+
+        all_patches = sparsify_patches(all_patches,
+                                       params.isbi_sparsify_stride)
+        if vol_shape[0] > 1:
+            mask_to_cover = filter_instance_boundaries_from_fg(
+                pred_affs, foreground, all_patches, ps, mask_to_cover,
+                patch_threshold=params.patch_threshold)
     if len(all_patches) == 0:
         logger.info("no interior patches, returning")
         if params.return_intermediates:
@@ -246,7 +268,10 @@ def to_instance_seg(
     elif params.skipSelection:
         selected = ranked
     else:
-        if use_jax and params.score_threshold is None:
+        cover_host_only = (params.score_threshold is not None
+                           or params.select_patches_overlap_neighborhood
+                           or params.mark_close_neighboorhood)
+        if use_jax and not cover_host_only:
             selected, _ = greedy_cover_device(
                 pred_affs_dev, mask_to_cover, ranked, ps,
                 fc_threshold=params.fc_threshold,
@@ -258,7 +283,10 @@ def to_instance_seg(
                 fc_threshold=params.fc_threshold,
                 overlap=overlap_mask,
                 sparse_data=params.select_patches_for_sparse_data,
-                score_threshold=params.score_threshold)
+                score_threshold=params.score_threshold,
+                overlap_neighborhood=(
+                    params.select_patches_overlap_neighborhood),
+                mark_close=params.mark_close_neighboorhood)
         logger.info("stage cover: %.2fs (%d selected)",
                     time.perf_counter() - _t_stage, len(selected))
         _t_stage = time.perf_counter()
@@ -313,7 +341,8 @@ def to_instance_seg(
     instances = ref.components_to_instances(
         comps, pred_affs, ps, vol_shape,
         patch_threshold=params.patch_threshold,
-        one_instance_per_channel=params.one_instance_per_channel)
+        one_instance_per_channel=params.one_instance_per_channel,
+        no_overlap_per_channel=params.no_overlap_per_channel)
     logger.info("stage labeling: %.2fs (%d components)",
                 time.perf_counter() - _t_stage, len(comps))
     return _maybe_unpad(instances, foreground, rad, params)
@@ -324,9 +353,46 @@ def _maybe_unpad(instances, foreground, rad, params):
         sl = tuple(slice(int(r), int(s - r))
                    for r, s in zip(rad, foreground.shape))
         foreground = foreground[sl]
-        instances = instances[(Ellipsis,) + sl] \
-            if params.one_instance_per_channel else instances[sl]
+        multi = (params.one_instance_per_channel
+                 or params.no_overlap_per_channel)
+        instances = instances[(Ellipsis,) + sl] if multi else instances[sl]
     return instances.astype(np.uint16), foreground.astype(np.uint8)
+
+
+def _derive_fg_numinst(io, params: VoteInstancesParams,
+                       center_channel_reader=None):
+    """Derive (numinst, foreground) masks from the prediction store
+    (utilVoteInstances.py:260-322) WITHOUT reading the dense affinities:
+    numinst argmax / per-class thresholds, fg_key threshold, or the center
+    affinity channel supplied by ``center_channel_reader``.  Closes ``io``.
+    """
+    fg_thresh = params.fg_thresh_vi if params.fg_thresh_vi > 0 \
+        else params.patch_threshold
+
+    numinst = None
+    if params.numinst_key:
+        prob = np.squeeze(io.read(key=params.numinst_key)).astype(np.float32)
+        if prob.ndim == 3:
+            prob = prob[:, None]
+        numinst = np.argmax(prob, axis=0).astype(np.uint8)
+        if params.numinst_threshs:
+            numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
+            for i, t in enumerate(params.numinst_threshs):
+                numinst[prob[i + 1] > t] = i + 1
+        foreground = numinst > 0
+    elif params.fg_key:
+        fg_prob = np.squeeze(io.read(key=params.fg_key))
+        if fg_prob.ndim == 2:
+            fg_prob = fg_prob[None]
+        foreground = fg_prob > fg_thresh
+    else:
+        assert center_channel_reader is not None
+        foreground = center_channel_reader() > fg_thresh
+
+    io.close()
+    if numinst is None:
+        numinst = foreground.astype(np.uint8)
+    return numinst, foreground.astype(bool)
 
 
 def load_affinities(aff_file: str, params: VoteInstancesParams):
@@ -351,32 +417,9 @@ def load_affinities(aff_file: str, params: VoteInstancesParams):
     if affs.min() < 0 and affs.max() > 1:
         affs = expit(affs)
 
-    fg_thresh = params.fg_thresh_vi if params.fg_thresh_vi > 0 \
-        else params.patch_threshold
-
-    numinst = None
-    if params.numinst_key:
-        prob = np.squeeze(io.read(key=params.numinst_key)).astype(np.float32)
-        if prob.ndim == 3:
-            prob = prob[:, None]
-        numinst = np.argmax(prob, axis=0).astype(np.uint8)
-        if params.numinst_threshs:
-            numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
-            for i, t in enumerate(params.numinst_threshs):
-                numinst[prob[i + 1] > t] = i + 1
-        foreground = numinst > 0
-    elif params.fg_key:
-        fg_prob = np.squeeze(io.read(key=params.fg_key))
-        if fg_prob.ndim == 2:
-            fg_prob = fg_prob[None]
-        foreground = fg_prob > fg_thresh
-    else:
-        foreground = affs[P // 2] > fg_thresh
-
-    io.close()
-    if numinst is None:
-        numinst = foreground.astype(np.uint8)
-    return affs, numinst, foreground.astype(bool)
+    numinst, foreground = _derive_fg_numinst(
+        io, params, center_channel_reader=lambda: affs[P // 2])
+    return affs, numinst, foreground
 
 
 def do_all(aff_file: str, params: VoteInstancesParams,
@@ -386,16 +429,25 @@ def do_all(aff_file: str, params: VoteInstancesParams,
     result_folder = result_folder or params.result_folder
     os.makedirs(result_folder, exist_ok=True)
 
-    affs, numinst, foreground = load_affinities(aff_file, params)
-    mask = foreground.copy()
+    if params.blockwise:
+        # blockwise + stitching path (stitch_patch_graph.py:553-669):
+        # streams blocks from the prediction file (out-of-core) and
+        # persists per-block intermediates next to the result for resume
+        from .blockwise import blockwise_vote_instances_zarr
 
-    instances, fg_out = to_instance_seg(affs, foreground, mask, numinst,
-                                        params)
+        instances, fg_out = blockwise_vote_instances_zarr(
+            aff_file, params, chunksize=params.chunksize,
+            result_folder=result_folder)
+    else:
+        affs, numinst, foreground = load_affinities(aff_file, params)
+        mask = foreground.copy()
+        instances, fg_out = to_instance_seg(affs, foreground, mask,
+                                            numinst, params)
     if params.remove_small_comps > 0:
         instances = remove_small_components(instances,
                                             params.remove_small_comps)
     if params.crop_to_foreground:
-        if params.one_instance_per_channel:
+        if params.one_instance_per_channel or params.no_overlap_per_channel:
             instances[:, fg_out == 0] = 0
         else:
             instances[fg_out == 0] = 0

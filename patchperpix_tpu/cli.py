@@ -50,13 +50,14 @@ def time_func(fn):
 
 def get_arguments(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("-c", "--config", action="append", required=True,
-                   help="TOML config file(s), later override earlier")
+    p.add_argument("-c", "--config", action="append", default=None,
+                   help="TOML config file(s), later override earlier; "
+                        "optional with --run_from_exp")
     p.add_argument("-d", "--do", nargs="+", default=[],
                    choices=["all", "mknet", "train", "validate_checkpoints",
                             "validate", "predict", "decode", "label",
-                            "postprocess", "evaluate", "cross_validate",
-                            "visualize", "cleanup"])
+                            "postprocess", "evaluate", "evaluate_prediction",
+                            "cross_validate", "visualize", "cleanup"])
     p.add_argument("--root", default="experiments_out")
     p.add_argument("-id", "--expid", default=None,
                    help="existing experiment id to continue")
@@ -69,10 +70,16 @@ def get_arguments(argv=None):
     p.add_argument("--test-data", default=None)
     p.add_argument("--debug_args", action="store_true",
                    help="clamp iterations/workers for smoke runs")
-    p.add_argument("--run_from_exp", action="store_true")
-    p.add_argument("--validate_on_train", action="store_true")
+    p.add_argument("--run_from_exp", action="store_true",
+                   help="reuse the stored merged config of the experiment "
+                        "given by --expid (run_ppp.py run-from-exp analog)")
+    p.add_argument("--validate_on_train", action="store_true",
+                   help="validate_checkpoints scores on the train split")
     p.add_argument("--param_set", type=int, default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if not args.config and not (args.run_from_exp and args.expid):
+        p.error("--config is required unless --run_from_exp with --expid")
+    return args
 
 
 def backup_and_copy_file(src, dst_dir):
@@ -92,7 +99,7 @@ def create_folders(root: str, expid: str | None) -> dict:
     paths = {"base": base, "expid": expid,
              "train": os.path.join(base, "train"),
              "backups": os.path.join(base, "backups")}
-    for mode in ("val", "test"):
+    for mode in ("train", "val", "test"):
         paths[f"{mode}_processed"] = os.path.join(base, mode, "processed")
         paths[f"{mode}_instanced"] = os.path.join(base, mode, "instanced")
         paths[f"{mode}_evaluated"] = os.path.join(base, mode, "evaluated")
@@ -217,12 +224,28 @@ def train(args, config, paths):
     data = config.get("data", {})
     tr = config.get("training", {})
     train_dir = args.train_data or data.get("train_data")
-    samples = [load_sample(os.path.join(
-        train_dir, s + "." + data.get("input_format", "zarr")),
-        data.get("raw_key", "volumes/raw"),
-        data.get("gt_key", "volumes/gt_instances"),
-        clipmax=config.get("preprocessing", {}).get("clipmax"))
-        for s in list_samples(train_dir, data.get("input_format", "zarr"))]
+    fmt = data.get("input_format", "zarr")
+    clipmax = config.get("preprocessing", {}).get("clipmax")
+
+    def _load_dir(d, partly=None):
+        return [load_sample(os.path.join(d, s + "." + fmt),
+                            data.get("raw_key", "volumes/raw"),
+                            data.get("gt_key", "volumes/gt_instances"),
+                            clipmax=clipmax, partly=partly)
+                for s in list_samples(d, fmt)]
+
+    samples = _load_dir(train_dir, partly=False)
+    add_partly = bool(tr.get("add_partly", False))
+    if add_partly:
+        # partly-labeled mixing + complete oversampling (train.py:612-633)
+        samples = samples * int(tr.get("oversample_complete", 1))
+        partly_dir = data.get("train_data_partly") or \
+            train_dir.replace("complete", "partly")
+        if os.path.isdir(partly_dir) and partly_dir != train_dir:
+            samples += _load_dir(partly_dir, partly=True)
+        else:
+            logger.warning("add_partly set but no partly data dir at %s",
+                           partly_dir)
 
     model, mcfg = _build_model(config)
     if not os.path.exists(os.path.join(paths["base"],
@@ -260,7 +283,8 @@ def train(args, config, paths):
         min_masked=sampling.get("min_masked", 0.0),
         augment=acfg)
     sampler = CropSampler(samples, scfg)
-    pf = Prefetcher(sampler, cache_size=tr.get("cache_size", 8))
+    pf = Prefetcher(sampler, cache_size=tr.get("cache_size", 8),
+                    with_partly=add_partly)
 
     max_iter = 10 if args.debug_args else tr.get("max_iterations", 400002)
     tcfg = TrainConfig(
@@ -271,8 +295,15 @@ def train(args, config, paths):
         optimizer=config.get("optimizer", {}).get("optimizer", {}).get(
             "optimizer", "Adam"),
         output_folder=paths["train"],
-        use_gt_extra=tr.get("use_gt_extra", False))
-    state = train_until(model, mcfg, tcfg, pf)
+        use_gt_extra=tr.get("use_gt_extra", False),
+        add_partly=add_partly,
+        mask_bg_weight=tr.get("mask_bg_weight", 0.01))
+    mesh = None
+    if int(tr.get("num_devices", 1)) > 1:
+        from .train.trainer import make_data_mesh
+
+        mesh = make_data_mesh(num_devices=int(tr["num_devices"]))
+    state = train_until(model, mcfg, tcfg, pf, mesh=mesh)
     pf.stop()
     return state["step"]
 
@@ -379,7 +410,7 @@ def label(args, config, paths, mode=None, checkpoint=None,
         vi_cfg.update(param_overrides)
     params = VoteInstancesParams.from_config(vi_cfg,
                                              result_folder=out_dir)
-    done = []
+    todo = []
     for path in sorted(glob.glob(os.path.join(in_dir, "*.zarr"))):
         s = os.path.splitext(os.path.basename(path))[0]
         if args.sample and s != args.sample:
@@ -389,9 +420,22 @@ def label(args, config, paths, mode=None, checkpoint=None,
                           remove_on_error=True):
             logger.info("skipping %s (labelled)", s)
             continue
-        do_all(path, params, result_folder=out_dir)
-        done.append(s)
-    return done
+        todo.append((s, path))
+
+    # sample parallelism (ref mp.Pool(num_parallel_samples) + GPU mutex,
+    # run_ppp.py:1070-1081): a thread pool suffices here — the JAX runtime
+    # serializes device dispatch, so only host IO/numpy stages overlap
+    n_par = int(params.num_parallel_samples)
+    if n_par > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_par) as ex:
+            list(ex.map(lambda sp: do_all(sp[1], params,
+                                          result_folder=out_dir), todo))
+    else:
+        for s, path in todo:
+            do_all(path, params, result_folder=out_dir)
+    return [s for s, _ in todo]
 
 
 @time_func
@@ -408,24 +452,39 @@ def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
     data_dir = _data_dir_for_mode(args, config, mode)
     ev = config.get("evaluation", {})
 
-    metric_dicts = {}
+    kwargs = dict(
+        res_key=ev.get("res_key", "vote_instances"),
+        gt_key=data.get("gt_key", "volumes/gt_instances"),
+        localization_criterion=ev.get("localization_criterion", "iou"),
+        assignment_strategy=ev.get("assignment_strategy", "hungarian"),
+        remove_small_components=ev.get("remove_small_components", 0),
+        keep_gt_shape=ev.get("keep_gt_shape", False),
+        add_general_metrics=ev.get("add_general_metrics", ()),
+        add_multi_thresh_metrics=ev.get("add_multi_thresh_metrics", ()))
+    jobs = []
     for path in sorted(glob.glob(os.path.join(inst_dir, "*.hdf"))):
         s = os.path.splitext(os.path.basename(path))[0]
         if args.sample and s != args.sample:
             continue
         gt_file = os.path.join(data_dir,
                                s + "." + data.get("input_format", "zarr"))
-        res = evaluate_file(
-            path, gt_file,
-            res_key=ev.get("res_key", "vote_instances"),
-            gt_key=data.get("gt_key", "volumes/gt_instances"),
-            localization_criterion=ev.get("localization_criterion", "iou"),
-            assignment_strategy=ev.get("assignment_strategy", "hungarian"),
-            remove_small_components=ev.get("remove_small_components", 0),
-            keep_gt_shape=ev.get("keep_gt_shape", False),
-            add_general_metrics=ev.get("add_general_metrics", ()),
-            add_multi_thresh_metrics=ev.get("add_multi_thresh_metrics", ()))
-        metric_dicts[s] = res
+        jobs.append((s, path, gt_file))
+
+    # per-sample parallel evaluation (ref joblib, run_ppp.py:1469-1475)
+    n_workers = int(ev.get("num_workers", 1))
+    metric_dicts = {}
+    if n_workers > 1 and len(jobs) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=n_workers) as ex:
+            futs = {s: ex.submit(evaluate_file, p, g, **kwargs)
+                    for s, p, g in jobs}
+            for s, fut in futs.items():
+                metric_dicts[s] = fut.result()
+    else:
+        for s, p, g in jobs:
+            metric_dicts[s] = evaluate_file(p, g, **kwargs)
+    for s, res in metric_dicts.items():
         with open(os.path.join(eval_dir, s + ".json"), "w") as f:
             json.dump(res, f, indent=2, default=float)
 
@@ -455,14 +514,17 @@ def validate_checkpoints(args, config, paths):
     if args.param_set is not None:
         param_sets = [param_sets[args.param_set]]
 
+    # --validate_on_train scores checkpoints on the train split
+    # (ref run_ppp.py validate_on_train handling)
+    vmode = "train" if getattr(args, "validate_on_train", False) else "val"
     results = []
     for cp in checkpoints:
-        predict(args, config, paths, mode="val", checkpoint=cp)
-        decode(args, config, paths, mode="val", checkpoint=cp)
+        predict(args, config, paths, mode=vmode, checkpoint=cp)
+        decode(args, config, paths, mode=vmode, checkpoint=cp)
         for pi, pset in enumerate(param_sets):
-            label(args, config, paths, mode="val", checkpoint=cp,
+            label(args, config, paths, mode=vmode, checkpoint=cp,
                   param_overrides=pset)
-            mdicts = evaluate(args, config, paths, mode="val",
+            mdicts = evaluate(args, config, paths, mode=vmode,
                               checkpoint=cp)
             score = _metric_of(mdicts, metric_key)
             results.append({"checkpoint": cp, "params": pset,
@@ -471,7 +533,8 @@ def validate_checkpoints(args, config, paths):
                         cp, pset, metric_key, score)
             # clear instanced outputs so the next param set recomputes
             if len(param_sets) > 1:
-                shutil.rmtree(os.path.join(paths["val_instanced"], str(cp)),
+                shutil.rmtree(os.path.join(paths[f"{vmode}_instanced"],
+                                           str(cp)),
                               ignore_errors=True)
 
     best = max(results, key=lambda r: r["score"]) if results else None
@@ -638,7 +701,14 @@ def cleanup(args, config, paths):
 
 def main(argv=None):
     args = get_arguments(argv)
-    config = cfglib.load_config(*args.config)
+    cfg_files = list(args.config or [])
+    if args.run_from_exp and args.expid:
+        stored = os.path.join(args.root, args.expid, "config.toml")
+        if not os.path.exists(stored):
+            raise FileNotFoundError(f"--run_from_exp: {stored} not found")
+        cfg_files = [stored] + cfg_files
+        args.config = cfg_files
+    config = cfglib.load_config(*cfg_files)
     if args.debug_args:
         cfglib.set_by_path(config, "training.max_iterations", 10)
         cfglib.set_by_path(config, "training.cache_size", 2)
@@ -661,6 +731,7 @@ def main(argv=None):
         "decode": decode, "label": label, "evaluate": evaluate,
         "validate_checkpoints": validate_checkpoints,
         "validate": validate_checkpoints,
+        "evaluate_prediction": evaluate_prediction,
         "cross_validate": cross_validate,
         "postprocess": postprocess, "visualize": visualize,
         "cleanup": cleanup,

@@ -110,6 +110,21 @@ def assign(scores: np.ndarray, threshold: float, strategy: str):
     raise ValueError(f"unknown assignment strategy {strategy}")
 
 
+def union_skel_coverage(gt_masks, pred_union: np.ndarray) -> np.ndarray:
+    """Per-gt skeleton coverage by the UNION of all predictions:
+    |gt_skel AND (pred > 0)| / |gt_skel|.  This is the package's
+    gt_skel_coverage (a per-gt list; run_ppp.py:1624-1626 consumes it as
+    ``general.gt_skel_coverage``), NOT a per-pred sum."""
+    out = np.zeros(len(gt_masks), dtype=np.float64)
+    for gi, (_, g) in enumerate(gt_masks):
+        gsk = skeletonize(g) > 0
+        n = int(gsk.sum())
+        if n == 0:
+            continue
+        out[gi] = int(np.logical_and(gsk, pred_union).sum()) / n
+    return out
+
+
 def evaluate_labels(
     pred_labels: np.ndarray,
     gt_labels: np.ndarray,
@@ -120,23 +135,38 @@ def evaluate_labels(
     keep_gt_shape: bool = False,
     add_general_metrics=("avg_gt_skel_coverage", "avg_f1_cov_score"),
     add_multi_thresh_metrics=("avg_tp_skel_coverage",),
+    fs_fm_floor: float = 0.1,
 ) -> dict:
-    """Full metric dict for one sample."""
+    """Full metric dict for one sample.
+
+    Definitions (evaluate-instance-segmentation package semantics, consumed
+    keys per run_ppp.py:1609-1654):
+
+    - false_split: for each gt, predicted segments beyond the first whose
+      localization score exceeds ``fs_fm_floor`` (extra fragments covering
+      the same gt).  false_merge: symmetric, gts beyond the first covered
+      by one prediction.  Both are matching-independent counts reported per
+      threshold key (the reference consumes th_0_5).
+    - gt_skel_coverage (general): PER-GT list of skeleton coverage by the
+      union of all predictions; avg_gt_skel_coverage is its mean.
+    - avg_tp_skel_coverage (per threshold): mean over matched gts of the
+      ASSIGNED prediction's gt-skeleton recall gt_cov[g, p].
+    - avg_f1_cov_score = (avFscore + avg_gt_skel_coverage) / 2.
+    """
     from ..utils.postprocess import remove_small_components as rm_small
 
+    pred_labels = np.asarray(pred_labels)
     if remove_small_components:
-        pred_labels = rm_small(np.asarray(pred_labels),
-                               remove_small_components)
+        pred_labels = rm_small(pred_labels, remove_small_components)
     gt_masks = _instance_masks(np.asarray(gt_labels), keep_shape=keep_gt_shape)
-    pred_masks = _instance_masks(np.asarray(pred_labels))
+    pred_masks = _instance_masks(pred_labels)
 
-    want_skel = (localization_criterion == "cldice"
-                 or "avg_gt_skel_coverage" in (add_general_metrics or ())
-                 or "avg_tp_skel_coverage" in (add_multi_thresh_metrics or ()))
+    want_tp_skel = "avg_tp_skel_coverage" in (add_multi_thresh_metrics or ())
+    want_gt_skel = "avg_gt_skel_coverage" in (add_general_metrics or ())
     gt_cov = None
     if localization_criterion == "iou":
         scores = iou_matrix(gt_masks, pred_masks)
-        if want_skel:
+        if localization_criterion == "cldice" or want_tp_skel:
             _, gt_cov = cldice_matrix(gt_masks, pred_masks)
     elif localization_criterion == "cldice":
         scores, gt_cov = cldice_matrix(gt_masks, pred_masks)
@@ -146,6 +176,11 @@ def evaluate_labels(
     n_gt, n_pred = len(gt_masks), len(pred_masks)
     result = {"general": {"Num GT": n_gt, "Num Pred": n_pred},
               "confusion_matrix": {}}
+
+    # matching-independent split/merge counts above the overlap floor
+    overl = scores > fs_fm_floor
+    false_split = int(np.maximum(overl.sum(axis=1) - 1, 0).sum())
+    false_merge = int(np.maximum(overl.sum(axis=0) - 1, 0).sum())
 
     fscores = []
     for th in thresholds:
@@ -158,35 +193,29 @@ def evaluate_labels(
         fscore = (2 * precision * recall / (precision + recall)
                   if precision + recall > 0 else 0.0)
         ap = tp / max(tp + fp + fn, 1)
-        # false split: extra preds overlapping a gt; false merge: extra gts
-        # overlapped by one pred (counted above a fixed overlap floor)
-        overl = scores > max(0.1, 0.0)
-        false_split = int(np.maximum(overl.sum(axis=1) - 1, 0).sum())
-        false_merge = int(np.maximum(overl.sum(axis=0) - 1, 0).sum())
         key = "th_" + str(round(th, 2)).replace(".", "_")
         entry = {
             "AP": ap, "AP_TP": tp, "AP_FP": fp, "AP_FN": fn,
             "precision": precision, "recall": recall, "fscore": fscore,
             "false_split": false_split, "false_merge": false_merge,
         }
-        if gt_cov is not None and \
-                "avg_tp_skel_coverage" in (add_multi_thresh_metrics or ()):
-            tp_cov = [gt_cov[g].max() for g, _p, _s in matches] or [0.0]
+        if gt_cov is not None and want_tp_skel:
+            # coverage of each matched gt by its ASSIGNED pred
+            tp_cov = [gt_cov[g, p] for g, p, _s in matches]
             entry["avg_tp_skel_coverage"] = float(np.mean(tp_cov)) \
-                if matches else 0.0
+                if tp_cov else 0.0
         result["confusion_matrix"][key] = entry
         fscores.append(fscore)
 
     result["confusion_matrix"]["avFscore"] = float(np.mean(fscores)) \
         if fscores else 0.0
 
-    if gt_cov is not None and \
-            "avg_gt_skel_coverage" in (add_general_metrics or ()):
-        # per gt: skeleton coverage by the union of predictions ~ max over
-        # preds of per-pred coverage summed where disjoint; use sum capped
-        per_gt = np.minimum(gt_cov.sum(axis=1), 1.0) if n_pred else \
-            np.zeros(n_gt)
+    if want_gt_skel:
+        flat_pred = (pred_labels if pred_labels.ndim <= 3
+                     else np.max(pred_labels, axis=0))
+        per_gt = union_skel_coverage(gt_masks, flat_pred > 0)
         cov = float(np.mean(per_gt)) if n_gt else 0.0
+        result["general"]["gt_skel_coverage"] = per_gt.tolist()
         result["general"]["avg_gt_skel_coverage"] = cov
         if "avg_f1_cov_score" in (add_general_metrics or ()):
             result["general"]["avg_f1_cov_score"] = \

@@ -254,6 +254,42 @@ def rank_patch_list(all_patches, scores):
     return ranked
 
 
+def _cover_loop(affs, running, radslice, ranked_patches, overlap, selected,
+                ps, rad, pix_th, fc_threshold, score_threshold, marked,
+                mark_close):
+    """One ranked-list scan of the greedy cover
+    (foreground_cover.py:111-180)."""
+    for r, (idx, sc) in enumerate(ranked_patches):
+        if not running[radslice].any():
+            break
+        if selected[r]:
+            continue
+        if score_threshold is not None and sc < score_threshold:
+            break
+        idx = np.asarray(idx)
+        if mark_close and marked[tuple(idx)]:
+            continue
+        if overlap is not None and overlap[tuple(idx)] > 0:
+            continue
+        patch = affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
+        window = tuple(slice(int(i - rr), int(i + rr + 1))
+                       for i, rr in zip(idx, rad))
+        pmask = patch > fc_threshold
+        covered = int(np.count_nonzero(running[window][pmask]))
+        if covered > pix_th:
+            selected[r] = True
+            if mark_close:
+                # radius (0,3,3) neighborhood (foreground_cover.py:162-168)
+                m_rad = np.zeros(len(ps), dtype=np.int64)
+                m_rad[-2:] = 3
+                m_sl = tuple(slice(max(int(i - mr), 0), int(i + mr + 1))
+                             for i, mr in zip(idx, m_rad))
+                marked[m_sl] = True
+            sub = running[window]
+            sub[pmask] = False
+            running[window] = sub
+
+
 def foreground_cover_reference(
     affs: np.ndarray,
     mask_to_cover: np.ndarray,
@@ -263,6 +299,8 @@ def foreground_cover_reference(
     overlap: np.ndarray | None = None,
     sparse_data: bool = False,
     score_threshold: float | None = None,
+    overlap_neighborhood: bool = False,
+    mark_close: bool = False,
 ):
     """Greedy foreground cover (foreground_cover.py:15-180).
 
@@ -270,6 +308,14 @@ def foreground_cover_reference(
     still-uncovered fg pixels; covered pixels are removed.  The pixel
     threshold cascades 500/100/50/10/0 for dense data ([0] for sparse), each
     pass rescanning from the start of the list.
+
+    ``overlap_neighborhood`` adds the second pass around overlap regions
+    (select_patches_overlap_neighborhood, foreground_cover.py:53-85): extra
+    patches are selected from the 2..5-dilation ring of the overlap mask and
+    the result is returned in coordinate order with scores looked up per
+    center (matching the reference's argwhere-based rebuild).
+    ``mark_close`` reproduces mark_close_neighboorhood (skip candidates
+    within an in-plane radius-3 box of an already selected center).
     Returns (selected list of (center, score), running-mask-after).
     """
     ps = np.asarray(patchshape, dtype=np.int64)
@@ -280,33 +326,49 @@ def foreground_cover_reference(
 
     running = mask_to_cover.astype(bool).copy()
     selected = np.zeros(len(ranked_patches), dtype=bool)
+    marked = np.zeros_like(running)
 
     mid = int(np.prod(ps) // 2)
     pix_ths = [0] if sparse_data else [t for t in (500, 100, 50, 10, 0)
                                        if t < mid]
     for pix_th in pix_ths:
-        for r, (idx, sc) in enumerate(ranked_patches):
-            if not running[radslice].any():
-                break
-            if selected[r]:
-                continue
-            if score_threshold is not None and sc < score_threshold:
-                break
-            idx = np.asarray(idx)
-            if overlap is not None and overlap[tuple(idx)] > 0:
-                continue
-            patch = affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
-            window = tuple(slice(int(i - rr), int(i + rr + 1))
-                           for i, rr in zip(idx, rad))
-            pmask = patch > fc_threshold
-            covered = int(np.count_nonzero(running[window][pmask]))
-            if covered > pix_th:
-                selected[r] = True
-                sub = running[window]
-                sub[pmask] = False
-                running[window] = sub
+        _cover_loop(affs, running, radslice, ranked_patches, overlap,
+                    selected, ps, rad, pix_th, fc_threshold,
+                    score_threshold, marked, mark_close)
         if not running[radslice].any():
             break
+
+    if overlap_neighborhood and overlap is not None:
+        import scipy.ndimage
+
+        sel_vol = np.zeros(tuple(vol_shape), dtype=bool)
+        for i, (idx, _) in enumerate(ranked_patches):
+            if selected[i]:
+                sel_vol[tuple(np.asarray(idx))] = True
+
+        ov = overlap.astype(bool)
+        ov_t = scipy.ndimage.binary_dilation(ov, iterations=2)
+        ov_dil = scipy.ndimage.binary_dilation(ov, iterations=5)
+        dil_mask = np.logical_and(~ov_t, ov_dil)
+        fg_dil = np.logical_and(dil_mask, mask_to_cover.astype(bool))
+
+        rp_list = [rp for rp in ranked_patches
+                   if not sel_vol[tuple(np.asarray(rp[0]))]
+                   and fg_dil[tuple(np.asarray(rp[0]))]]
+        sel2 = np.zeros(len(rp_list), dtype=bool)
+        fg_dil_running = fg_dil.copy()
+        _cover_loop(affs, fg_dil_running, radslice, rp_list, overlap, sel2,
+                    ps, rad, pix_ths[-1], fc_threshold, score_threshold,
+                    marked, mark_close)
+        for i, (idx, _) in enumerate(rp_list):
+            if sel2[i]:
+                sel_vol[tuple(np.asarray(idx))] = True
+        # rebuild in coordinate order with per-center score lookup
+        score_of = {tuple(np.asarray(idx)): sc
+                    for idx, sc in ranked_patches}
+        out = [(c, score_of.get(tuple(c), 0.0))
+               for c in np.argwhere(sel_vol)]
+        return out, running
 
     out = [rp for i, rp in enumerate(ranked_patches) if selected[i]]
     return out, running
@@ -600,25 +662,44 @@ def _mws(edges):
 
 def components_to_instances(
     components,
-    affs: np.ndarray,
+    affs,
     patchshape,
     vol_shape,
     patch_threshold: float = 0.5,
     one_instance_per_channel: bool = False,
+    no_overlap_per_channel: bool = False,
+    min_pack_size: int = 2000,
 ):
     """Paint components into an instance label volume
-    (graph_to_labeling.py:56-115)."""
+    (graph_to_labeling.py:56-115).
+
+    ``affs`` is the dense (P, *vol) affinity array, or a dict mapping patch
+    center tuples to (P,) patch vectors — the reference's ``sparse_labels``
+    mode (graph_to_labeling.py:65-67) used by blockwise stitching so the
+    dense volume never needs to be in memory.
+
+    ``no_overlap_per_channel`` packs instances into as few channels as
+    possible: instances > ``min_pack_size`` px claim a free (non-overlapping)
+    channel or open a new one; smaller ones go into channel 0
+    (graph_to_labeling.py:96-113).
+    """
     ps = np.asarray(patchshape, dtype=np.int64)
     rad = ps // 2
     vol_shape = tuple(int(s) for s in vol_shape)
+    sparse = isinstance(affs, dict)
     instances = np.zeros(vol_shape, dtype=np.uint16)
     per_channel = []
+    multi = one_instance_per_channel or no_overlap_per_channel
     for value, comp in enumerate(components, start=1):
-        if one_instance_per_channel:
+        if multi:
             cur = np.zeros(vol_shape, dtype=np.uint16)
         for idx in comp:
             idx = np.asarray(idx)
-            patch = affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
+            if sparse:
+                patch = np.asarray(
+                    affs[tuple(int(i) for i in idx)]).reshape(tuple(ps))
+            else:
+                patch = affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
             start = np.maximum(0, idx - rad)
             stop = np.minimum(idx + rad + 1, vol_shape)
             window = tuple(slice(int(s), int(e))
@@ -627,17 +708,26 @@ def components_to_instances(
                         for s, e, i, r, ps_ in
                         zip(start, stop, idx, rad, ps))
             pmask = patch[psl] > patch_threshold
-            if one_instance_per_channel:
-                sub = cur[window]
-                sub[pmask] = value
-                cur[window] = sub
-            else:
-                sub = instances[window]
-                sub[pmask] = value
-                instances[window] = sub
+            tgt = cur if multi else instances
+            sub = tgt[window]
+            sub[pmask] = value
+            tgt[window] = sub
         if one_instance_per_channel:
             per_channel.append(cur)
-    if one_instance_per_channel:
+        elif no_overlap_per_channel:
+            mask = cur > 0
+            if not per_channel:
+                per_channel.append(cur)
+            elif int(mask.sum()) > min_pack_size:
+                for chan in per_channel:
+                    if np.all(chan[mask] == 0):
+                        chan[mask] = value
+                        break
+                else:
+                    per_channel.append(cur)
+            else:
+                per_channel[0][mask] = value
+    if multi:
         return (np.stack(per_channel, axis=0) if per_channel
                 else np.zeros((0,) + vol_shape, dtype=np.uint16))
     return instances

@@ -35,11 +35,14 @@ class SampleData:
     labels: np.ndarray       # (C_gt, *spatial) int
     fg_mask: np.ndarray      # (*spatial) bool
     overlap_mask: np.ndarray  # (*spatial) bool
-    loss_mask: np.ndarray | None = None  # partly-labeled data
+    partly: bool = False     # partly-labeled sample -> per-pixel loss mask
+                             # derived in the train step (ref CreateMask,
+                             # train.py:735-741)
 
 
 def load_sample(path: str, raw_key: str, gt_key: str,
-                clipmax: float | None = None) -> SampleData:
+                clipmax: float | None = None,
+                partly: bool | None = None) -> SampleData:
     io = vio.open_volume(path, mode="r")
     raw = io.read(key=raw_key).astype(np.float32)
     labels = io.read(key=gt_key)
@@ -54,8 +57,10 @@ def load_sample(path: str, raw_key: str, gt_key: str,
         raw = raw / max(raw.max(), 1e-6)
     fg = np.any(labels > 0, axis=0)
     overlap = np.sum(labels > 0, axis=0) > 1
+    if partly is None:
+        partly = "partly" in str(path)  # ref train.py:700 ('"partly" in fn')
     return SampleData(raw=raw, labels=labels.astype(np.int32),
-                      fg_mask=fg, overlap_mask=overlap)
+                      fg_mask=fg, overlap_mask=overlap, partly=bool(partly))
 
 
 @dataclass
@@ -221,7 +226,7 @@ class CropSampler:
         (train.py:276-297, neurolight)."""
         a = self.cfg.augment
         if self.rng.rand() > a.probability_overlay:
-            return raw, labels
+            return raw, labels, False
         si = self.rng.randint(len(self.samples))
         center = self._choose_center(si)
         raw2 = self._crop_at(self.samples[si].raw, center,
@@ -232,7 +237,7 @@ class CropSampler:
         offset = int(labels.max())
         labels2 = np.where(labels2 > 0, labels2 + offset, 0)
         labels = np.concatenate([labels, labels2], axis=0)
-        return raw, labels
+        return raw, labels, self.samples[si].partly
 
     # ---- batch production ----------------------------------------------
 
@@ -256,7 +261,7 @@ class CropSampler:
         if a.elastic:
             raw, labels = self._elastic(raw, labels)
         raw, labels = self._simple_augment(raw, labels)
-        raw, labels = self._overlay(raw, labels)
+        raw, labels, overlay_partly = self._overlay(raw, labels)
         raw = self._permute(raw)
         raw = self._hue(raw)
         raw = self._intensity(raw)
@@ -264,41 +269,55 @@ class CropSampler:
         c = big // 2
         raw = self._crop_at(raw, c, np.array(cfg.input_shape))
         labels_out = self._crop_at(labels, c, np.array(self.label_shape))
-        return raw.astype(np.float32), labels_out
+        return (raw.astype(np.float32), labels_out,
+                s.partly or overlay_partly)
 
-    def batch(self, max_gt_channels: int = 6):
-        """One (raw, labels) batch; gt channel count is padded/truncated to a
-        fixed ``max_gt_channels`` so the jitted train step never recompiles."""
-        raws, labs = [], []
+    def batch(self, max_gt_channels: int = 6, with_partly: bool = False):
+        """One (raw, labels[, partly]) batch; gt channel count is
+        padded/truncated to a fixed ``max_gt_channels`` so the jitted train
+        step never recompiles.  ``with_partly`` adds the per-item
+        partly-labeled flag vector (bool (B,)) the masked losses consume."""
+        raws, labs, partly = [], [], []
         for _ in range(self.cfg.batch_size):
-            r, l = self.one_crop()
+            r, l, p = self.one_crop()
             raws.append(r)
             labs.append(l)
+            partly.append(p)
         cmax = max_gt_channels
         labs = [np.pad(l[:cmax], [(0, cmax - min(l.shape[0], cmax))]
                        + [(0, 0)] * (l.ndim - 1)) for l in labs]
-        return np.stack(raws), np.stack(labs)
+        out = (np.stack(raws), np.stack(labs))
+        if with_partly:
+            out = out + (np.array(partly, dtype=bool),)
+        return out
 
 
 class Prefetcher:
     """Background thread keeping a queue of ready batches (gp.PreCache)."""
 
     def __init__(self, sampler: CropSampler, cache_size: int = 8,
-                 max_gt_channels: int = 6):
+                 max_gt_channels: int = 6, with_partly: bool = False):
         self.sampler = sampler
         self.queue: queue.Queue = queue.Queue(maxsize=cache_size)
         self.max_gt_channels = max_gt_channels
+        self.with_partly = with_partly
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
     def _work(self):
         while not self._stop.is_set():
-            try:
-                self.queue.put(self.sampler.batch(self.max_gt_channels),
-                               timeout=1.0)
-            except queue.Full:
-                continue
+            # build the batch once; retry the put until it fits (a put
+            # inside the try would recompute and discard a full augmented
+            # batch on every queue.Full, busy-burning host CPU)
+            batch = self.sampler.batch(self.max_gt_channels,
+                                       with_partly=self.with_partly)
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     def next(self):
         return self.queue.get()

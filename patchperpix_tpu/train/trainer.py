@@ -45,6 +45,9 @@ class TrainConfig:
     log_every: int = 100
     mask_bg_weight: float = 0.01
     use_gt_extra: bool = False
+    add_partly: bool = False   # partly-labeled data: per-pixel loss mask
+                               # from labels (1 at labeled px, bg_weight
+                               # elsewhere; ref CreateMask train.py:735-741)
 
 
 def checkpoint_path(folder: str, step: int, name: str = "train_net") -> str:
@@ -102,7 +105,7 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     ps = mcfg.patchshape_squeezed
     max_ni = mcfg.max_num_inst
 
-    def compute_losses(params, raw, labels, rng):
+    def compute_losses(params, raw, labels, rng, partly=None):
         h1, h2 = model.apply(params, raw)
         out_sp = h1.shape[2:]
         ndim = len(out_sp)
@@ -115,6 +118,16 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
         labels_out = labels[center_sl]
         ninst = jnp.sum(labels_out > 0, axis=1)
         gt_fg = ninst == 1 if mcfg.overlapping_inst else ninst > 0
+
+        # partly-labeled loss mask (CreateMask, train.py:735-741): for
+        # partly items, labeled px weigh 1 and unlabeled px bg_weight;
+        # complete items weigh 1 everywhere
+        loss_mask = None
+        if partly is not None:
+            labeled = (ninst > 0).astype(h1.dtype)
+            pmask = labeled + (1.0 - labeled) * tcfg.mask_bg_weight
+            item = partly.reshape((-1,) + (1,) * ndim).astype(h1.dtype)
+            loss_mask = (item * pmask + (1.0 - item))[:, None]
 
         if mcfg.train_code:
             code = jnp.moveaxis(h1, 1, -1)          # (B, *out, code)
@@ -133,20 +146,20 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             gt_affs_metric = gt_affs
         else:
             gt_affs = gt_affinities_dense(labels, ps)   # (B, P, *out)
-            loss_patch = masked_bce_logits(h1, gt_affs, None,
+            loss_patch = masked_bce_logits(h1, gt_affs, loss_mask,
                                            num_channels=float(mcfg.patchsize))
             pred_affs_prob = jax.nn.sigmoid(h1)
             gt_affs_metric = gt_affs
 
         if mcfg.overlapping_inst:
             gt_ni = jnp.clip(ninst, 0, max_ni)
-            loss_fg = masked_ce(h2, gt_ni, None,
+            loss_fg = masked_ce(h2, gt_ni, loss_mask,
                                 use_gt_extra=tcfg.use_gt_extra)
             pred_fg_prob = 1.0 - jax.nn.softmax(h2, axis=1)[:, 0]
             gt_fg_metric = (ninst > 0).astype(jnp.float32)
         else:
             gt_fgbg = (ninst > 0).astype(h2.dtype)[:, None]
-            loss_fg = masked_bce_logits(h2, gt_fgbg, None)
+            loss_fg = masked_bce_logits(h2, gt_fgbg, loss_mask)
             pred_fg_prob = jax.nn.sigmoid(h2[:, 0])
             gt_fg_metric = gt_fgbg[:, 0]
 
@@ -156,15 +169,17 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
                               pred_fg_prob, gt_fg_metric))
         return loss, mets
 
-    def step(params, opt_state, raw, labels, rng):
+    add_partly = tcfg.add_partly
+
+    def step(params, opt_state, raw, labels, rng, partly=None):
         (loss, mets), grads = jax.value_and_grad(
-            compute_losses, has_aux=True)(params, raw, labels, rng)
+            compute_losses, has_aux=True)(params, raw, labels, rng, partly)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, mets
 
-    def eval_step(params, raw, labels, rng):
-        _, mets = compute_losses(params, raw, labels, rng)
+    def eval_step(params, raw, labels, rng, partly=None):
+        _, mets = compute_losses(params, raw, labels, rng, partly)
         return mets
 
     if mesh is None:
@@ -178,11 +193,16 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
                            else P(data_axis))
     labels_sh = NamedSharding(mesh, labels_spec if labels_spec is not None
                               else P(data_axis))
+    step_in = [repl, repl, raw_sh, labels_sh, repl]
+    eval_in = [repl, raw_sh, labels_sh, repl]
+    if add_partly:
+        step_in.append(NamedSharding(mesh, P(data_axis)))
+        eval_in.append(NamedSharding(mesh, P(data_axis)))
     step = jax.jit(step,
-                   in_shardings=(repl, repl, raw_sh, labels_sh, repl),
+                   in_shardings=tuple(step_in),
                    out_shardings=(repl, repl, repl))
     eval_step = jax.jit(eval_step,
-                        in_shardings=(repl, raw_sh, labels_sh, repl),
+                        in_shardings=tuple(eval_in),
                         out_shardings=repl)
     return step, eval_step
 
@@ -222,9 +242,15 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
         repl_sh = None
         put_data = jnp.asarray
 
+    def split_batch(b):
+        """(raw, labels[, partly]) -> (raw, labels, partly-or-None)."""
+        if len(b) == 3:
+            return b[0], b[1], b[2]
+        return b[0], b[1], None
+
     if init_raw is None:
-        raw0, labels0 = prefetcher.next()
-        first_batch = (raw0, labels0)
+        first_batch = split_batch(prefetcher.next())
+        raw0 = first_batch[0]
     else:
         raw0 = init_raw
         first_batch = None
@@ -260,14 +286,18 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     t0 = time.time()
     while step < tcfg.max_iterations:
         if first_batch is not None:
-            raw, labels = first_batch
+            raw, labels, partly = first_batch
             first_batch = None
         else:
-            raw, labels = prefetcher.next()
+            raw, labels, partly = split_batch(prefetcher.next())
         rng, step_rng = jax.random.split(rng)
-        params, opt_state, mets = step_fn(params, opt_state,
-                                          put_data(raw),
-                                          put_data(labels), step_rng)
+        args = (params, opt_state, put_data(raw), put_data(labels),
+                step_rng)
+        if tcfg.add_partly:
+            if partly is None:
+                partly = np.zeros(len(np.asarray(raw)), dtype=bool)
+            args = args + (put_data(partly),)
+        params, opt_state, mets = step_fn(*args)
         step += 1
 
         if step % tcfg.log_every == 0 or step == 1:
@@ -281,10 +311,14 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
 
         if tcfg.val_log_step and step % tcfg.val_log_step == 0 \
                 and val_batch_fn is not None:
-            vraw, vlabels = val_batch_fn()
+            vraw, vlabels, vpartly = split_batch(val_batch_fn())
             rng, vrng = jax.random.split(rng)
-            vmets = eval_fn(params, put_data(vraw),
-                            put_data(vlabels), vrng)
+            vargs = (params, put_data(vraw), put_data(vlabels), vrng)
+            if tcfg.add_partly:
+                if vpartly is None:
+                    vpartly = np.zeros(len(np.asarray(vraw)), dtype=bool)
+                vargs = vargs + (put_data(vpartly),)
+            vmets = eval_fn(*vargs)
             vmets = {f"val_{k}": float(v) for k, v in vmets.items()}
             vmets["step"] = step
             log_f.write(json.dumps(vmets) + "\n")

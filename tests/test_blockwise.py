@@ -88,3 +88,88 @@ def test_blockwise_empty_volume():
     inst, _ = blockwise_vote_instances(affs, fg, fg.astype(np.uint8),
                                        params, chunksize=(8, 8, 8))
     assert inst.sum() == 0
+
+
+def _write_pred_zarr(tmp_path, affs, name="sample.zarr"):
+    from patchperpix_tpu.utils import io as vio
+
+    path = str(tmp_path / name)
+    io = vio.IoZarr(path, mode="w")
+    io.create("volumes/pred_affs", affs.shape, np.float16,
+              chunks=(affs.shape[0], 8, 8, 8))
+    io.write(affs.astype(np.float16), key="volumes/pred_affs")
+    io.close()
+    return path
+
+
+def test_blockwise_zarr_out_of_core(tmp_path):
+    """Out-of-core path streams from the store and matches the in-memory
+    blockwise result; per-block npz persist and enable resume."""
+    import os
+
+    from patchperpix_tpu.assembly.blockwise import (
+        blockwise_vote_instances_zarr)
+
+    labels, affs, fg = _case_3d()
+    affs16 = affs.astype(np.float16).astype(np.float32)
+    params = VoteInstancesParams(patchshape=(3, 3, 3), engine="jax",
+                                 removeIntersection=False)
+    mem, _ = blockwise_vote_instances(affs16, fg, fg.astype(np.uint8),
+                                      params, chunksize=(14, 14, 14))
+    path = _write_pred_zarr(tmp_path, affs)
+    ooc, fg_out = blockwise_vote_instances_zarr(
+        params=params, aff_file=path, chunksize=(14, 14, 14),
+        result_folder=str(tmp_path))
+    mem[~fg] = 0
+    ooc[~fg_out.astype(bool)] = 0
+    wl, bl = relabel(mem), relabel(ooc)
+    pairs = set(zip(wl[wl > 0].tolist(), bl[wl > 0].tolist()))
+    assert len(pairs) == 3
+
+    # per-block files persisted
+    store = str(tmp_path / "sample_blocks")
+    files = sorted(os.listdir(store))
+    assert files and all(f.endswith(".npz") for f in files)
+
+    # resume: delete one block file, rerun -> same labels, others untouched
+    mtimes = {f: os.path.getmtime(os.path.join(store, f)) for f in files}
+    os.remove(os.path.join(store, files[0]))
+    ooc2, _ = blockwise_vote_instances_zarr(
+        params=params, aff_file=path, chunksize=(14, 14, 14),
+        result_folder=str(tmp_path))
+    np.testing.assert_array_equal(relabel(ooc), relabel(ooc2))
+    for f in files[1:]:
+        assert os.path.getmtime(os.path.join(store, f)) == mtimes[f]
+
+
+def test_blockwise_parallel_blocks_equal_serial(tmp_path):
+    labels, affs, fg = _case_3d()
+    params_ser = VoteInstancesParams(patchshape=(3, 3, 3), engine="jax",
+                                     removeIntersection=False,
+                                     num_parallel_blocks=1)
+    params_par = VoteInstancesParams(patchshape=(3, 3, 3), engine="jax",
+                                     removeIntersection=False,
+                                     num_parallel_blocks=4)
+    a, _ = blockwise_vote_instances(affs, fg, fg.astype(np.uint8),
+                                    params_ser, chunksize=(14, 14, 14))
+    b, _ = blockwise_vote_instances(affs, fg, fg.astype(np.uint8),
+                                    params_par, chunksize=(14, 14, 14))
+    np.testing.assert_array_equal(relabel(a), relabel(b))
+
+
+def test_do_all_routes_blockwise(tmp_path):
+    """CLI-level contract: params.blockwise=True streams through the
+    out-of-core blockwise path (ADVICE r1: was silently ignored)."""
+    import h5py
+
+    from patchperpix_tpu.assembly import do_all
+
+    labels, affs, fg = _case_3d()
+    path = _write_pred_zarr(tmp_path, affs)
+    params = VoteInstancesParams(patchshape=(3, 3, 3), engine="jax",
+                                 removeIntersection=False, blockwise=True,
+                                 chunksize=(14, 14, 14))
+    out = do_all(path, params, result_folder=str(tmp_path / "out"))
+    with h5py.File(out, "r") as f:
+        inst = f["vote_instances"][()]
+    assert len(np.unique(inst[inst > 0])) == 3

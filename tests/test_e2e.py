@@ -17,6 +17,8 @@ from patchperpix_tpu.train import (AugmentConfig, CropSampler, Prefetcher,
                                    SampleData, SamplerConfig, TrainConfig,
                                    train_until)
 
+pytestmark = pytest.mark.slow
+
 
 def _make_sample(seed, size=48):
     """Two bright square instances on dark background, gap between them."""

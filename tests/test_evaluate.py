@@ -139,3 +139,92 @@ def test_evaluate_numinst_and_fg():
     res_fg = evaluate_fg(fg_prob, ni_gt > 0, thresholds=(0.5,),
                          remove_small_comps=(0,))
     assert res_fg["th_0_5_rm_0"]["fscore"] == 1.0
+
+
+# --- hand-computed fixtures for the package-semantics metrics ------------
+# (VERDICT r1 item 6: union-based gt skeleton coverage, assigned-pred TP
+# coverage, per-gt gt_skel_coverage list)
+
+
+def _hline(y, x0, x1, shape=(20, 40)):
+    m = np.zeros(shape, np.int32)
+    m[y, x0:x1] = 1
+    return m
+
+
+def test_gt_skel_coverage_union_not_capped_sum():
+    """Two identical preds covering 60% of a line gt: union coverage is
+    0.6; the old capped per-pred SUM would report 1.0 (0.6+0.6 capped)."""
+    gt = _hline(10, 0, 30)              # 30-px line, skeleton == line
+    # two predictions over the SAME 18-px sub-line (overlapping
+    # instances); their union covers 60% of the skeleton even though the
+    # per-pred coverages sum to 1.2
+    pred = np.zeros((2, 20, 40), np.int32)
+    pred[0, 10, 0:18] = 1
+    pred[1, 10, 0:18] = 2
+    from patchperpix_tpu.evaluate.instance_metrics import (
+        _instance_masks, union_skel_coverage)
+
+    gt_masks = _instance_masks(gt)
+    union = (pred.max(axis=0) > 0)
+    cov = union_skel_coverage(gt_masks, union)
+    assert cov.shape == (1,)
+    assert abs(cov[0] - 0.6) < 1e-9
+
+
+def test_metric_dict_hand_computed_split_case():
+    """1 gt line of 30 px; two preds covering [0,18) and [18,30).
+    IoU(gt, p1)=18/30=0.6, IoU(gt, p2)=12/30=0.4.
+    At th 0.5: TP=1 (p1), FP=1, FN=0 -> precision 1/2, recall 1,
+    fscore 2/3.  false_split=1 (two preds above the 0.1 floor on one gt),
+    false_merge=0.  Union skel coverage = 1.0."""
+    gt = _hline(10, 0, 30)
+    pred = np.zeros((20, 40), np.int32)
+    pred[10, 0:18] = 1
+    pred[10, 18:30] = 2
+    res = evaluate_labels(pred, gt, localization_criterion="iou",
+                          assignment_strategy="hungarian")
+    th5 = res["confusion_matrix"]["th_0_5"]
+    assert th5["AP_TP"] == 1 and th5["AP_FP"] == 1 and th5["AP_FN"] == 0
+    assert abs(th5["fscore"] - 2 / 3) < 1e-9
+    assert th5["false_split"] == 1 and th5["false_merge"] == 0
+    # same FS count reported at every threshold (matching-independent)
+    assert res["confusion_matrix"]["th_0_9"]["false_split"] == 1
+    assert res["general"]["gt_skel_coverage"] == [1.0]
+    assert abs(res["general"]["avg_gt_skel_coverage"] - 1.0) < 1e-9
+
+
+def test_metric_dict_hand_computed_merge_case():
+    """2 gt lines; one pred spanning both plus background gap.
+    gt1=[0,10), gt2=[20,30) on the same row; pred=[0,30).
+    IoU(g1,p)=10/30, IoU(g2,p)=10/30 -> no match at 0.5;
+    false_merge=1, false_split=0.  Union coverage = [1.0, 1.0]."""
+    gt = np.zeros((20, 40), np.int32)
+    gt[10, 0:10] = 1
+    gt[10, 20:30] = 2
+    pred = np.zeros((20, 40), np.int32)
+    pred[10, 0:30] = 1
+    res = evaluate_labels(pred, gt)
+    th5 = res["confusion_matrix"]["th_0_5"]
+    assert th5["AP_TP"] == 0 and th5["false_merge"] == 1
+    assert th5["false_split"] == 0
+    assert res["general"]["gt_skel_coverage"] == [1.0, 1.0]
+
+
+def test_tp_skel_coverage_uses_assigned_pred():
+    """gt matched (by IoU) to pred A with skeleton recall 0.75 while an
+    unmatched pred B has recall 0.25: avg_tp_skel_coverage must be A's
+    0.75, and would differ under the old max-over-preds (max = 0.75 here,
+    so craft B bigger off-gt: B covers 100% of the skeleton but has tiny
+    IoU due to huge off-gt area -> max would give 1.0, assigned gives
+    0.75)."""
+    gt = np.zeros((30, 40), np.int32)
+    gt[10, 0:20] = 1                       # 20-px line
+    pred = np.zeros((30, 40), np.int32)
+    pred[10, 0:15] = 1                     # A: skel recall 15/20, IoU 0.75
+    pred[12:29, 0:40] = 2                  # B: big blob (tiny IoU with gt)
+    pred[10, 15:20] = 2                    # ...but covers the rest of gt
+    res = evaluate_labels(pred, gt)
+    th5 = res["confusion_matrix"]["th_0_5"]
+    assert th5["AP_TP"] == 1
+    assert abs(th5["avg_tp_skel_coverage"] - 0.75) < 1e-9

@@ -16,6 +16,8 @@ from patchperpix_tpu.train import (AugmentConfig, CropSampler, Prefetcher,
                                    SampleData, SamplerConfig, TrainConfig,
                                    load_sample, train_until)
 
+pytestmark = pytest.mark.slow
+
 FIXTURE = "data/JRC_SS05008-20160318_24_B2_crop.zarr"
 
 

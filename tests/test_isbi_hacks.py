@@ -8,10 +8,12 @@ from patchperpix_tpu.ops import synthetic
 
 
 def test_sparsify():
-    pts = [(0, 0, i) for i in range(100)]
+    # reference semantics: coordinate grid p % stride == 1 on EVERY axis
+    # (isbi_hacks.py:10-14), not every Nth list element
+    pts = [(1, 1, i) for i in range(100)] + [(0, 1, 21), (1, 2, 21)]
     out = sparsify_patches(pts, stride=20)
-    assert len(out) == 5
-    assert out[0] == (0, 0, 0) and out[1] == (0, 0, 20)
+    assert out == [(1, 1, 1), (1, 1, 21), (1, 1, 41), (1, 1, 61),
+                   (1, 1, 81)]
 
 
 def test_boundary_filter_removes_boundary_pixels():
@@ -30,3 +32,41 @@ def test_boundary_filter_removes_boundary_pixels():
     # interior pixels survive
     assert out[0, 8, 4]
     assert out.sum() < fg.sum()
+
+
+def test_isbi_hack_wired_into_pipeline():
+    """to_instance_seg honors isbi_hack: candidates restricted to the
+    sparse grid (centers % stride == 1)."""
+    from patchperpix_tpu.assembly import VoteInstancesParams, to_instance_seg
+
+    # multi-slice stack like the real ISBI data: the one-slice hack keeps
+    # z=1, which is exactly the slice the % stride == 1 grid passes
+    ps = np.array([1, 5, 5])
+    labels = np.zeros((3, 44, 44), np.int32)
+    labels[:, 2:42, 2:20] = 1
+    labels[:, 2:42, 24:42] = 2
+    affs = synthetic.labels_to_affinities(labels, ps)
+    fg = affs[12] > 0.5
+    params = VoteInstancesParams(
+        patchshape=(1, 5, 5), engine="numpy", isbi_hack=True,
+        isbi_sparsify_stride=4, removeIntersection=False,
+        select_patches_for_sparse_data=False, includeSinglePatchCCS=True)
+    inst, _ = to_instance_seg(affs, fg, fg.copy(), fg.astype(np.uint8),
+                              params)
+    # one-slice hack: only z=1 is labeled
+    assert inst[0].sum() == 0 and inst[2].sum() == 0
+    inst[~fg] = 0
+    ids = np.unique(inst[inst > 0])
+    assert len(ids) == 2
+    for gt in (1, 2):
+        pred = np.unique(inst[1][labels[1] == gt])
+        assert len(pred[pred > 0]) == 1
+
+
+def test_keep_single_slice():
+    from patchperpix_tpu.assembly.isbi_hacks import keep_single_slice
+
+    fg = np.ones((4, 5, 5), bool)
+    out = keep_single_slice(fg)
+    assert out[1].all() and not out[0].any() and not out[2:].any()
+    assert fg.all()  # input untouched

@@ -178,3 +178,118 @@ def test_mws_respects_mutex():
     assert len(comps) == 2
     comps_nomws = ref.graph_components(pairs, weights, mws=False)
     assert len(comps_nomws) == 1
+
+
+def test_components_to_instances_sparse_dict_matches_dense():
+    """sparse_labels mode (graph_to_labeling.py:65-67): dict of patch
+    columns produces the same painting as the dense array."""
+    import numpy as np
+
+    from patchperpix_tpu.ops import np_reference as ref, synthetic
+
+    ps = np.array([3, 3, 3])
+    labels = synthetic.two_blob_labels_3d()
+    affs = synthetic.labels_to_affinities(labels, ps)
+    comps = [[(4, 4, 4), (5, 5, 5)], [(9, 9, 9)]]
+    dense = ref.components_to_instances(comps, affs, ps, labels.shape[-3:])
+    patch_dict = {c: affs[(slice(None),) + c]
+                  for comp in comps for c in comp}
+    sparse = ref.components_to_instances(comps, patch_dict, ps,
+                                         labels.shape[-3:])
+    np.testing.assert_array_equal(dense, sparse)
+
+
+def test_components_to_instances_no_overlap_per_channel():
+    """no_overlap_per_channel packing (graph_to_labeling.py:96-113):
+    big disjoint instances share a channel; big overlapping ones get a new
+    channel; small ones go to channel 0."""
+    import numpy as np
+
+    from patchperpix_tpu.ops import np_reference as ref
+
+    vol = (1, 30, 30)
+    ps = np.array([1, 5, 5])
+    P = int(ps.prod())
+
+    def full_patch():
+        return np.ones(P, np.float32)
+
+    # comp1: big blob left; comp2: big blob right (disjoint from comp1);
+    # comp3: big blob overlapping comp1; comp4: tiny (1 patch, 25 px < thresh)
+    grid = [(0, y, x) for y in range(2, 28, 2) for x in range(2, 13, 2)]
+    comp1 = grid
+    comp2 = [(0, y, x) for y in range(2, 28, 2) for x in range(17, 28, 2)]
+    comp3 = [(0, y, x) for y in range(2, 28, 2) for x in range(4, 14, 2)]
+    comp4 = [(0, 15, 15)]
+    patch_dict = {c: full_patch() for c in comp1 + comp2 + comp3 + comp4}
+    out = ref.components_to_instances(
+        [comp1, comp2, comp3, comp4], patch_dict, ps, vol,
+        no_overlap_per_channel=True, min_pack_size=100)
+    assert out.ndim == 4
+    # comp1 ch0 value1, comp2 packs into ch0 value2, comp3 opens ch1
+    # value 3, comp4 small -> ch0 value 4
+    assert out.shape[0] == 2
+    assert (out[0] == 1).any() and (out[0] == 2).any()
+    assert (out[1] == 3).any() and not (out[0] == 3).any()
+    assert (out[0] == 4).any()
+
+
+def test_cover_overlap_neighborhood_pass():
+    """select_patches_overlap_neighborhood (foreground_cover.py:53-85): the
+    second pass picks extra patches in the dilation ring around overlap
+    regions that the main cascade skipped."""
+    import numpy as np
+
+    from patchperpix_tpu.ops import np_reference as ref, synthetic
+
+    ps = np.array([1, 5, 5])
+    labels = np.zeros((2, 1, 24, 24), np.int32)
+    labels[0, 0, 4:16, 4:16] = 1
+    labels[1, 0, 10:20, 10:20] = 2
+    affs = synthetic.labels_to_affinities_multi(labels, ps)
+    fg = np.sum(labels > 0, axis=0) > 0
+    overlap = np.sum(labels > 0, axis=0) > 1
+    mask = fg & ~overlap
+
+    all_p = [tuple(c) for c in np.argwhere(fg)]
+    scores = np.random.RandomState(0).rand(*fg.shape).astype(np.float32)
+    ranked = ref.rank_patch_list(all_p, scores)
+
+    base, _ = ref.foreground_cover_reference(
+        affs, mask, ranked, ps, overlap=overlap.astype(np.uint8),
+        sparse_data=True)
+    withov, _ = ref.foreground_cover_reference(
+        affs, mask, ranked, ps, overlap=overlap.astype(np.uint8),
+        sparse_data=True, overlap_neighborhood=True)
+    assert len(withov) >= len(base)
+    # output is coordinate-ordered (argwhere rebuild)
+    coords = [tuple(np.asarray(c)) for c, _ in withov]
+    assert coords == sorted(coords)
+
+
+def test_cover_mark_close_neighborhood():
+    """mark_close_neighboorhood skips candidates within the in-plane
+    radius-3 box of an already-selected center."""
+    import numpy as np
+
+    from patchperpix_tpu.ops import np_reference as ref, synthetic
+
+    ps = np.array([1, 5, 5])
+    lab = np.zeros((1, 20, 20), np.int32)
+    lab[0, 2:18, 2:18] = 1
+    affs = synthetic.labels_to_affinities(lab, ps)
+    fg = affs[12] > 0.5
+    all_p = [tuple(c) for c in np.argwhere(fg)]
+    scores = np.ones(fg.shape, np.float32)
+    ranked = ref.rank_patch_list(all_p, scores)
+    plain, _ = ref.foreground_cover_reference(affs, fg.copy(), ranked, ps,
+                                              sparse_data=True)
+    marked, _ = ref.foreground_cover_reference(affs, fg.copy(), ranked, ps,
+                                               sparse_data=True,
+                                               mark_close=True)
+    sel = np.array([np.asarray(c) for c, _ in marked])
+    # no two selected centers within the 3-box (except across z)
+    for i in range(len(sel)):
+        d = np.abs(sel - sel[i])
+        close = np.logical_and(d[:, 1] <= 3, d[:, 2] <= 3)
+        assert close.sum() == 1  # only itself

@@ -11,6 +11,8 @@ from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
 from patchperpix_tpu.ops.pallas_consensus import consensus_array_pallas
 from patchperpix_tpu.utils.postprocess import relabel
 
+pytestmark = pytest.mark.tpu
+
 
 def _random_affs(shape, P, seed=0):
     rng = np.random.RandomState(seed)

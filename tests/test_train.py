@@ -227,3 +227,77 @@ def test_train_until_with_mesh(tmp_path):
     state = train_until(model, mcfg, tcfg, _P(), mesh=mesh)
     assert state["step"] == 3
     assert get_latest_checkpoint(str(tmp_path))[1] == 3
+
+
+def test_masked_loss_zero_gradient_at_masked_pixels():
+    """Masked pixels (loss_mask 0) provably contribute zero gradient to
+    both masked losses (VERDICT r1 item 7 'Done =' criterion)."""
+    from patchperpix_tpu.models.losses import masked_bce_logits, masked_ce
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 4, 8, 8).astype(np.float32))
+    targets = jnp.asarray((rng.rand(2, 4, 8, 8) > 0.5).astype(np.float32))
+    mask = np.ones((2, 1, 8, 8), np.float32)
+    mask[:, :, :, 4:] = 0.0      # right half masked out
+    mask = jnp.asarray(mask)
+
+    g = jax.grad(lambda l: masked_bce_logits(l, targets, mask,
+                                             num_channels=4.0))(logits)
+    assert np.abs(np.asarray(g)[:, :, :, 4:]).max() == 0.0
+    assert np.abs(np.asarray(g)[:, :, :, :4]).max() > 0.0
+
+    tgt_int = jnp.asarray(rng.randint(0, 3, (2, 8, 8)))
+    logits_ce = jnp.asarray(rng.randn(2, 3, 8, 8).astype(np.float32))
+    g2 = jax.grad(lambda l: masked_ce(l, tgt_int, mask))(logits_ce)
+    assert np.abs(np.asarray(g2)[:, :, :, 4:]).max() == 0.0
+    assert np.abs(np.asarray(g2)[:, :, :, :4]).max() > 0.0
+
+
+def test_partly_train_step_masks_unlabeled():
+    """add_partly: with bg_weight=0, unlabeled pixels of a partly item
+    produce zero grad -- flipping the partly flag changes the loss."""
+    mcfg = _model_cfg(False)
+    model = PPPModel(mcfg)
+    tcfg = TrainConfig(lr=1e-3, add_partly=True, mask_bg_weight=0.0)
+    optimizer = make_optimizer(tcfg)
+    s = _sampler_same_padding()
+    raw, labels = s.batch(max_gt_channels=4)
+    raw_j, labels_j = jnp.asarray(raw), jnp.asarray(labels)
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, raw_j, method=PPPModel.full_init)
+    opt_state = optimizer.init(params)
+    step_fn, _ = make_train_step(model, mcfg, tcfg, optimizer)
+
+    partly_t = jnp.asarray(np.array([True, True]))
+    partly_f = jnp.asarray(np.array([False, False]))
+    _, _, m_t = step_fn(params, opt_state, raw_j, labels_j, rng, partly_t)
+    _, _, m_f = step_fn(params, opt_state, raw_j, labels_j, rng, partly_f)
+    # complete items include bg loss; partly items with bg_weight 0 do not
+    assert float(m_t["loss_fg"]) != float(m_f["loss_fg"])
+    assert np.isfinite(float(m_t["loss"]))
+
+
+def test_sampler_partly_flag_flows(tmp_path):
+    from patchperpix_tpu.train import load_sample
+
+    sd = _toy_sample(0)
+    sd_p = _toy_sample(1)
+    sd_p.partly = True
+    cfg = SamplerConfig(input_shape=(32, 32), output_shape=(16, 16),
+                        patchshape=(5, 5), batch_size=4,
+                        augment=AugmentConfig(probability_overlay=0.0,
+                                              elastic=False))
+    s = CropSampler([sd, sd_p], cfg)
+    raw, labels, partly = s.batch(max_gt_channels=4, with_partly=True)
+    assert partly.shape == (4,) and partly.dtype == bool
+
+    # load_sample autodetects "partly" in the path
+    import h5py
+
+    p = str(tmp_path / "partly_x.hdf")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("volumes/raw", data=sd.raw)
+        f.create_dataset("volumes/gt_instances", data=sd.labels)
+    loaded = load_sample(p, "volumes/raw", "volumes/gt_instances")
+    assert loaded.partly
