@@ -37,6 +37,19 @@ from ..utils.skeleton import skeletonize
 logger = logging.getLogger(__name__)
 
 
+def _stage_trace(name: str):
+    """jax.profiler annotation per assembly stage (visible in the trace
+    viewer alongside the device ops; SURVEY §5 tracing parity)."""
+    try:
+        import jax.profiler
+
+        return jax.profiler.TraceAnnotation(f"vote_instances/{name}")
+    except Exception:  # pragma: no cover
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
 @dataclass
 class VoteInstancesParams:
     """Typed view of the [vote_instances] TOML section (default.toml:114-169)."""
@@ -87,9 +100,16 @@ class VoteInstancesParams:
     numinst_threshs: tuple = (0.9, 0.1)
     res_key: str = "vote_instances"
     result_folder: str = "."
+    profile_dir: str | None = None   # jax.profiler trace output for do_all
+    use_score_oracle: bool = False   # rank by GT patch IoU instead of the
+                                     # consensus score (ranked_patches.py:
+                                     # 120-136; decouples assembly quality
+                                     # from model quality)
+    score_oracle_key: str = "volumes/patch_iou"
     return_intermediates: bool = False
     selected_patches: list | None = None
     selected_patch_pairs: np.ndarray | None = None
+    oracle_scores: np.ndarray | None = None   # per-pixel IoU volume
     seed: int = 0
 
     @classmethod
@@ -158,7 +178,14 @@ def to_instance_seg(
     """
     ps = np.asarray(params.patchshape, dtype=np.int64)
     rad = ps // 2
-    pred_affs = np.asarray(pred_affs, dtype=np.float32)
+    # device-resident input (fused predict->decode->assemble): keep the
+    # dense stack on the accelerator; only small gathers come to host
+    # (the dev tunnel moves D2H at ~3 MB/s - a full (P, *vol) readback
+    # would dominate the pipeline)
+    affs_on_device = (params.engine in ("jax", "pallas")
+                      and not isinstance(pred_affs, np.ndarray))
+    if not affs_on_device:
+        pred_affs = np.asarray(pred_affs, dtype=np.float32)
 
     if params.pad_with_ps:
         assert not params.blockwise, "can only pad whole volumes"
@@ -192,9 +219,18 @@ def to_instance_seg(
         return _maybe_unpad(instances, foreground, rad, params)
 
     ccfg = params.consensus_config()
-    use_jax = params.engine in ("jax", "pallas")
-    use_pallas = (params.engine == "pallas"
-                  and pallas_supported(params.consensus_config()))
+    use_jax = params.engine in ("jax", "pallas", "xla")
+    if params.engine == "pallas":
+        use_pallas = pallas_supported(ccfg, vol_shape)
+    elif params.engine == "jax":
+        # auto: the Pallas kernel is ~3x the XLA scan on TPU; plain XLA
+        # elsewhere (CPU) and for unsupported patchshapes/volumes
+        import jax as _jax
+
+        use_pallas = (pallas_supported(ccfg, vol_shape)
+                      and _jax.default_backend() == "tpu")
+    else:
+        use_pallas = False
     _t_stage = time.perf_counter()
 
     # (1) consensus (bool mask: integer masks defeat XLA mask fusion).
@@ -204,16 +240,20 @@ def to_instance_seg(
     if use_jax:
         import jax
 
-        pred_affs_dev = jax.device_put(pred_affs)
+        pred_affs_dev = (pred_affs if affs_on_device
+                         else jax.device_put(pred_affs))
         if overlap_arg is not None:
             overlap_arg = jax.device_put(overlap_arg)
-        if use_pallas:
-            # the pallas kernel emits the SYMMETRIZED consensus directly
-            # (canonical half identical; no separate symmetrize pass)
-            cons = consensus_array_pallas(pred_affs_dev, ccfg,
-                                          overlap=overlap_arg)
-        else:
-            cons = consensus_array(pred_affs_dev, ccfg, overlap=overlap_arg)
+        with _stage_trace("consensus"):
+            if use_pallas:
+                # the pallas kernel emits the SYMMETRIZED consensus
+                # directly (canonical half identical; no separate
+                # symmetrize pass)
+                cons = consensus_array_pallas(pred_affs_dev, ccfg,
+                                              overlap=overlap_arg)
+            else:
+                cons = consensus_array(pred_affs_dev, ccfg,
+                                       overlap=overlap_arg)
         cons_np = None
     else:
         cons_np, _ = ref.consensus_reference(
@@ -227,12 +267,18 @@ def to_instance_seg(
 
     # (2) patch ranking (skippable when selected patches are injected,
     # e.g. by blockwise stitching)
-    if params.skipRanking and (params.selected_patches is not None
-                               or params.selected_patch_pairs is not None):
+    if params.use_score_oracle and params.oracle_scores is not None:
+        # oracle mode: rank by precomputed GT patch IoU
+        scores = np.asarray(params.oracle_scores, dtype=np.float32)
+        assert scores.shape == tuple(vol_shape), \
+            f"oracle scores shape {scores.shape} != volume {vol_shape}"
+    elif params.skipRanking and (params.selected_patches is not None
+                                 or params.selected_patch_pairs is not None):
         scores = np.zeros(vol_shape, dtype=np.float32)
     elif use_jax:
-        scores = np.asarray(rank_scores(pred_affs_dev, cons, ccfg,
-                                        overlap=overlap_arg))
+        with _stage_trace("rank"):
+            scores = np.asarray(rank_scores(pred_affs_dev, cons, ccfg,
+                                            overlap=overlap_arg))
     else:
         scores = ref.rank_patches_reference(
             pred_affs, cons_np, ps, th=params.patch_threshold,
@@ -247,6 +293,8 @@ def to_instance_seg(
         from .isbi_hacks import (filter_instance_boundaries_from_fg,
                                  sparsify_patches)
 
+        if affs_on_device:
+            pred_affs = np.asarray(pred_affs, dtype=np.float32)
         all_patches = sparsify_patches(all_patches,
                                        params.isbi_sparsify_stride)
         if vol_shape[0] > 1:
@@ -271,12 +319,15 @@ def to_instance_seg(
         cover_host_only = (params.score_threshold is not None
                            or params.select_patches_overlap_neighborhood
                            or params.mark_close_neighboorhood)
+        if cover_host_only and affs_on_device:
+            pred_affs = np.asarray(pred_affs, dtype=np.float32)
         if use_jax and not cover_host_only:
-            selected, _ = greedy_cover_device(
-                pred_affs_dev, mask_to_cover, ranked, ps,
-                fc_threshold=params.fc_threshold,
-                overlap=overlap_mask,
-                sparse_data=params.select_patches_for_sparse_data)
+            with _stage_trace("cover"):
+                selected, _ = greedy_cover_device(
+                    pred_affs_dev, mask_to_cover, ranked, ps,
+                    fc_threshold=params.fc_threshold,
+                    overlap=overlap_mask,
+                    sparse_data=params.select_patches_for_sparse_data)
         else:
             selected, _ = ref.foreground_cover_reference(
                 pred_affs, mask_to_cover, ranked, ps,
@@ -292,9 +343,10 @@ def to_instance_seg(
         _t_stage = time.perf_counter()
         if not params.skipThinCover and len(selected) > 0:
             if use_jax:
-                selected = thin_out_cover_device(
-                    pred_affs_dev, mask_to_cover, selected, ps,
-                    fc_threshold=params.fc_threshold)
+                with _stage_trace("thin_cover"):
+                    selected = thin_out_cover_device(
+                        pred_affs_dev, mask_to_cover, selected, ps,
+                        fc_threshold=params.fc_threshold)
             else:
                 selected = ref.thin_out_cover_reference(
                     pred_affs, mask_to_cover, selected, ps,
@@ -321,10 +373,11 @@ def to_instance_seg(
         return _maybe_unpad(instances, foreground, rad, params)
 
     if use_jax:
-        sym = cons if use_pallas else symmetrize_consensus(cons, ccfg)
-        weights = np.asarray(patch_graph_weights(
-            pred_affs_dev, sym, pairs, ccfg, seed=params.seed,
-            drop_intersection=params.removeIntersection))
+        with _stage_trace("patch_graph"):
+            sym = cons if use_pallas else symmetrize_consensus(cons, ccfg)
+            weights = np.asarray(patch_graph_weights(
+                pred_affs_dev, sym, pairs, ccfg, seed=params.seed,
+                drop_intersection=params.removeIntersection))
     else:
         weights = ref.patch_graph_reference(
             pred_affs, cons_np, pairs, ps, th=params.patch_threshold,
@@ -336,10 +389,30 @@ def to_instance_seg(
     if params.return_intermediates:
         return pairs, weights
 
-    # (6) components -> instance painting
-    comps = ref.graph_components(pairs, weights, mws=params.mws)
+    # (6) components -> instance painting (device label propagation for
+    # the jax engine; host union-find otherwise / for mws)
+    if use_jax and not params.mws:
+        from ..ops.graph_device import graph_components_device
+
+        comps = graph_components_device(pairs, weights)
+    else:
+        comps = ref.graph_components(pairs, weights, mws=params.mws)
+    if affs_on_device:
+        # one batched device gather of the component nodes' patch columns
+        # -> sparse-dict painting (only K*P floats cross to host)
+        nodes = [idx for comp in comps for idx in comp]
+        if nodes:
+            pts = np.asarray(nodes, dtype=np.int64)
+            cols = np.asarray(
+                pred_affs_dev[(slice(None),) + tuple(pts.T)])
+            paint_src = {tuple(int(x) for x in c): cols[:, i]
+                         for i, c in enumerate(pts)}
+        else:
+            paint_src = {}
+    else:
+        paint_src = pred_affs
     instances = ref.components_to_instances(
-        comps, pred_affs, ps, vol_shape,
+        comps, paint_src, ps, vol_shape,
         patch_threshold=params.patch_threshold,
         one_instance_per_channel=params.one_instance_per_channel,
         no_overlap_per_channel=params.no_overlap_per_channel)
@@ -428,6 +501,35 @@ def do_all(aff_file: str, params: VoteInstancesParams,
     (vote_instances.py:486-554)."""
     result_folder = result_folder or params.result_folder
     os.makedirs(result_folder, exist_ok=True)
+
+    if params.profile_dir:
+        import jax.profiler
+
+        jax.profiler.start_trace(params.profile_dir)
+    try:
+        return _do_all_inner(aff_file, params, result_folder)
+    finally:
+        if params.profile_dir:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+
+
+def _do_all_inner(aff_file: str, params: VoteInstancesParams,
+                  result_folder: str) -> str:
+
+    if params.use_score_oracle and params.oracle_scores is None:
+        # load the GT patch-IoU volume written by evaluate_prediction
+        # (run_ppp.py:1347-1364)
+        from dataclasses import replace
+
+        oio = vio.open_volume(aff_file, mode="r")
+        oracle = np.squeeze(oio.read(key=params.score_oracle_key)) \
+            .astype(np.float32)
+        oio.close()
+        if oracle.ndim == 2:
+            oracle = oracle[None]
+        params = replace(params, oracle_scores=oracle)
 
     if params.blockwise:
         # blockwise + stitching path (stitch_patch_graph.py:553-669):

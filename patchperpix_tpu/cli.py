@@ -76,6 +76,13 @@ def get_arguments(argv=None):
     p.add_argument("--validate_on_train", action="store_true",
                    help="validate_checkpoints scores on the train split")
     p.add_argument("--param_set", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="overrides",
+                   help="generic config override, dotted path: "
+                        "--set vote_instances.patch_threshold=0.9 "
+                        "(run_ppp.py update_config analog)")
+    p.add_argument("--predict_single", action="store_true",
+                   help="predict only the first sample (smoke runs)")
     args = p.parse_args(argv)
     if not args.config and not (args.run_from_exp and args.expid):
         p.error("--config is required unless --run_from_exp with --expid")
@@ -341,6 +348,8 @@ def predict(args, config, paths, mode=None, checkpoint=None):
     samples = list_samples(data_dir, data.get("input_format", "zarr"))
     if args.sample:
         samples = [s for s in samples if s == args.sample]
+    if getattr(args, "predict_single", False):
+        samples = samples[:1]
     done = []
     for s in samples:
         out_path = os.path.join(out_dir, s + ".zarr")
@@ -554,6 +563,12 @@ def cross_validate(args, config, paths):
     folds = config.get("data", {}).get("cross_val_folders",
                                        ["val_data", "test_data"])
     fold_modes = {"val_data": "val", "test_data": "test"}
+    # FlyLight variant: accumulate per-instance TP/FP/FN + skeleton
+    # coverages across folds instead of sample means
+    # (run_ppp.py:1609-1671)
+    over_instances = config.get("evaluation", {}).get(
+        "average_over_instances", False)
+    fold_counts = []
     results = {}
     for select_fold, apply_fold in (tuple(folds), tuple(reversed(folds))):
         sel_mode = fold_modes.get(select_fold, "val")
@@ -570,10 +585,22 @@ def cross_validate(args, config, paths):
         label(args, config, paths, mode=app_mode, checkpoint=cp,
               param_overrides=best["params"])
         mdicts = evaluate(args, config, paths, mode=app_mode, checkpoint=cp)
-        results[f"{select_fold}->{apply_fold}"] = {
-            "best": best, "applied_score": _metric_of(mdicts, metric_key)}
+        entry = {"best": best,
+                 "applied_score": _metric_of(mdicts, metric_key)}
+        if over_instances:
+            from .evaluate import average_score_over_instances
+
+            avs, counts = average_score_over_instances(mdicts)
+            entry["applied_score_over_instances"] = avs
+            fold_counts.append(counts)
+        results[f"{select_fold}->{apply_fold}"] = entry
     scores = [v["applied_score"] for v in results.values()]
     results["mean_score"] = float(np.mean(scores)) if scores else None
+    if over_instances and len(fold_counts) == 2:
+        from .evaluate import average_score_with_instance_counts
+
+        avs, acc = average_score_with_instance_counts(*fold_counts)
+        results["instance_weighted"] = acc
     with open(os.path.join(paths["base"], "cross_val_results.json"),
               "w") as f:
         json.dump(results, f, indent=2, default=float)
@@ -608,13 +635,24 @@ def evaluate_prediction(args, config, paths, mode=None, checkpoint=None):
             data.get("raw_key", "volumes/raw"),
             data.get("gt_key", "volumes/gt_instances"))
         res: dict = {}
-        if evp.get("eval_patch_prediction") and \
-                not model_cfg.get("train_code"):
+        if evp.get("eval_patch_prediction"):
             affs = io.read(key=config.get("prediction", {}).get(
                 "aff_key", "volumes/pred_affs")).astype(np.float32)
+            patch_res = evaluate_patch(affs, sd.labels, ps)
+            if evp.get("store_iou", True):
+                # write the oracle IoU volume back into the pred file
+                # (use_score_oracle consumes it; run_ppp.py:1370-1443)
+                oth = evp.get("oracle_threshold", 0.5)
+                okey = "th_" + str(round(oth, 2)).replace(".", "_")
+                iou = patch_res[okey]["iou_volume"]
+                wio = vio.open_volume(path, mode="r+")
+                wio.create("volumes/patch_iou", iou.shape, np.float32,
+                           chunks=iou.shape)
+                wio.write(iou.astype(np.float32), key="volumes/patch_iou")
+                wio.close()
             res["patch"] = {
                 k: {kk: vv for kk, vv in v.items() if kk != "iou_volume"}
-                for k, v in evaluate_patch(affs, sd.labels, ps).items()}
+                for k, v in patch_res.items()}
         if evp.get("eval_numinst_prediction") and \
                 model_cfg.get("overlapping_inst"):
             ni = io.read(key=config.get("prediction", {}).get(
@@ -709,6 +747,15 @@ def main(argv=None):
         cfg_files = [stored] + cfg_files
         args.config = cfg_files
     config = cfglib.load_config(*cfg_files)
+    for ov in args.overrides:
+        key, _, val = ov.partition("=")
+        import ast
+
+        try:
+            parsed = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            parsed = val
+        cfglib.set_by_path(config, key.strip(), parsed)
     if args.debug_args:
         cfglib.set_by_path(config, "training.max_iterations", 10)
         cfglib.set_by_path(config, "training.cache_size", 2)
@@ -717,10 +764,29 @@ def main(argv=None):
     setup_logging(paths["base"],
                   config.get("general", {}).get("logging", "INFO"))
 
-    # provenance: merged config + original files into backups/
+    # provenance: merged config + original files into backups/, plus a git
+    # diff of the framework source (run_ppp.py:2014-2022)
     cfglib.dump_config(config, os.path.join(paths["base"], "config.toml"))
     for c in args.config:
         backup_and_copy_file(c, paths["backups"])
+    try:
+        import subprocess
+
+        src_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        diff = subprocess.run(
+            ["git", "-C", src_root, "diff", "HEAD"],
+            capture_output=True, text=True, timeout=30)
+        head = subprocess.run(
+            ["git", "-C", src_root, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=30)
+        ts = datetime.now().strftime("%y%m%d_%H%M%S")
+        with open(os.path.join(paths["backups"],
+                               f"ppp_source_{ts}.diff"), "w") as f:
+            f.write(f"# HEAD: {head.stdout.strip()}\n")
+            f.write(diff.stdout)
+    except Exception as e:  # provenance is best-effort
+        logger.warning("git provenance snapshot failed: %s", e)
 
     tasks = args.do or ["all"]
     if "all" in tasks:

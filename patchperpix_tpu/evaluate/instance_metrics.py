@@ -262,3 +262,65 @@ def summarize_metric_dict(metric_dicts: dict, summary_keys,
         with open(out_csv, "w", newline="") as f:
             csv.writer(f).writerows(rows)
     return rows
+
+
+def average_score_over_instances(metric_dicts: dict,
+                                 thresholds=DEFAULT_THRESHOLDS):
+    """FlyLight instance-count-weighted fold score
+    (run_ppp.py:1609-1654): per threshold, TP/FP/FN summed over samples
+    before the F-score; gt skeleton coverages concatenated per instance;
+    avS = (mean fscore + mean coverage) / 2.  Returns (avS, counts dict
+    for cross-fold accumulation)."""
+    fscores = []
+    gt_covs: list = []
+    tp = {t: 0 for t in thresholds}
+    fp = {t: 0 for t in thresholds}
+    fn = {t: 0 for t in thresholds}
+    false_split = 0
+    false_merge = 0
+    for md in metric_dicts.values():
+        gt_covs += [float(c) for c in
+                    md["general"].get("gt_skel_coverage", [])]
+        for t in thresholds:
+            key = "th_" + str(t).replace(".", "_")
+            cm = md["confusion_matrix"][key]
+            tp[t] += cm["AP_TP"]
+            fp[t] += cm["AP_FP"]
+            fn[t] += cm["AP_FN"]
+            if t == 0.5:
+                false_split += cm["false_split"]
+                false_merge += cm["false_merge"]
+    for t in thresholds:
+        denom = 2 * tp[t] + fp[t] + fn[t]
+        fscores.append(2 * tp[t] / denom if denom else 0.0)
+    avS = 0.5 * float(np.mean(fscores)) + \
+        0.5 * (float(np.mean(gt_covs)) if gt_covs else 0.0)
+    counts = {
+        "gt_covs": gt_covs,
+        "false_split": int(false_split),
+        "false_merge": int(false_merge),
+        "tp": [int(tp[t]) for t in thresholds],
+        "fp": [int(fp[t]) for t in thresholds],
+        "fn": [int(fn[t]) for t in thresholds],
+    }
+    return avS, counts
+
+
+def average_score_with_instance_counts(counts1: dict, counts2: dict):
+    """Combine two folds' per-instance counts (run_ppp.py:1657-1671)."""
+    gt_covs = counts1["gt_covs"] + counts2["gt_covs"]
+    tps = np.array(counts1["tp"]) + np.array(counts2["tp"])
+    fps = np.array(counts1["fp"]) + np.array(counts2["fp"])
+    fns = np.array(counts1["fn"]) + np.array(counts2["fn"])
+    denom = 2 * tps + fps + fns
+    fscores = np.where(denom > 0, 2 * tps / np.maximum(denom, 1), 0.0)
+    cov = float(np.mean(gt_covs)) if gt_covs else 0.0
+    avS = 0.5 * cov + 0.5 * float(np.mean(fscores))
+    return avS, {
+        "avg_f1_cov_score": avS,
+        "avg_gt_skel_coverage": cov,
+        "fscores": fscores.tolist(),
+        "avFscore": float(np.mean(fscores)),
+        "false_split": counts1["false_split"] + counts2["false_split"],
+        "false_merge": counts1["false_merge"] + counts2["false_merge"],
+    }

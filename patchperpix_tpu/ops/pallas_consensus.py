@@ -6,16 +6,28 @@ Computes the same array as ops/consensus_jax.consensus_array via the
     cons[d][x] = sum_q w( G[q][x], G[q+d][x+d] )
 
 where G[q][x] = affs[q][x - (q - rad)] re-aligns every patch channel to the
-pixel it points at.  Each grid cell (z, dz, qz) accumulates one
-(dy, dx)-layer of the consensus for one z slice: left channel planes
-(qz, *, *) multiply rolled right channel planes (qz+dz, *, *), with the
-in-plane displacement (dy, dx) realized as a lane-roll over the
-zero-padded flattened (y, x) plane (wrapped lanes land in the pad region,
-so the roll doubles as the zero-fill shift).
+pixel it points at.
 
-The XLA scan formulation pays ~343 read-modify-writes of the full
-consensus; here every consensus element is written once and all operands
-stream HBM -> VMEM once per cell.
+Layout/traffic design (v3):
+
+- grid = (z, dz, qz) with qz innermost; the (dy, dx) in-plane displacement
+  loops run INSIDE the kernel, so each (G-plane, z) pair streams HBM->VMEM
+  once per (z, dz) cell instead of once per (z, dz, dy) (the v1/v2 grids
+  re-fetched every plane ndy times: ~200 GB of HBM traffic at 50^3/7^3).
+- the left operand is stored cropped to the valid (Y, X) region; the right
+  operand carries a (rad + ps - 1) zero margin per axis so every (dy, dx)
+  displacement is a plain window *read* at an offset - there are NO rolls
+  and NO lane rotates (dynamic lane rotates > 128 and dynamic negative
+  sublane rolls both miscompile in current Mosaic; this design never
+  issues either).
+- dx is unrolled statically (static lane slices); dy is a fori_loop whose
+  dynamic offset only feeds a sublane-dim ``pl.ds`` window start.
+- the output is written already cropped to (Z, ndz, ndy, ndx, Y, X) - no
+  padded intermediate (v2's 128-lane padding inflated the output 2.5x and
+  OOM'd the chip at 50^3/7^3).
+
+The XLA scan formulation pays ~P read-modify-writes of the full consensus;
+here every consensus element is written once.
 """
 
 from __future__ import annotations
@@ -31,131 +43,134 @@ from jax.experimental.pallas import tpu as pltpu
 from .consensus_jax import ConsensusConfig, _masks
 from .np_reference import patch_offsets
 
+# static-unroll budget for the in-plane dx loop (2 * psx - 1 iterations)
+_MAX_NDX_UNROLL = 64
 
-def pallas_supported(cfg: ConsensusConfig) -> bool:
-    """True when the kernel is safe for this patchshape (see KNOWN LIMIT)."""
+
+def pallas_supported(cfg: ConsensusConfig, vol_shape=None) -> bool:
+    """True when the kernel supports this patchshape (3D stacks; the dx
+    displacement loop is unrolled statically).
+
+    Z == 1 volumes (2D data) are excluded: single-z grids miscompile to
+    all-zero output for in-plane extents >= ~18 on current Mosaic (probed
+    empirically; 3D volumes are unaffected) - the XLA scan path handles 2D.
+    """
     ps = np.asarray(cfg.ps)
-    return len(ps) == 3 and int(ps[1]) <= 5 and int(ps[2]) <= 5
+    if len(ps) != 3 or 2 * int(ps[2]) - 1 > _MAX_NDX_UNROLL:
+        return False
+    if vol_shape is not None and int(vol_shape[0]) <= 1:
+        return False
+    return True
 
 
-def _target_align_pad(stack: jnp.ndarray, ps: np.ndarray, pad: int):
-    """(P, Z, Y, X) center-aligned -> (psz, psy, psx, Z+2p, (Y+2p)*(X+2p))
-    target-aligned, spatially zero-padded and (y, x)-flattened."""
+def _target_aligned(stack: jnp.ndarray, ps: np.ndarray, margin):
+    """(P, Z, Y, X) center-aligned -> (psz, psy, psx, Z+2mz, Y+2my, X+2mx)
+    target-aligned with a zero margin per axis (margin >= rad so the
+    alignment shifts stay inside)."""
     P, Z, Y, X = stack.shape
     rad = ps // 2
     offs = patch_offsets(ps)
-    padded = jnp.pad(stack, [(0, 0)] + [(pad, pad)] * 3)
+    mz, my, mx = (int(m) for m in margin)
+    padded = jnp.pad(stack, [(0, 0), (mz, mz), (my, my), (mx, mx)])
     out = []
+    dims = (Z + 2 * mz, Y + 2 * my, X + 2 * mx)
     for q in range(P):
         s = offs[q] - rad
-        # out[x] = padded[q][x - s] (static shift, zero fill via the pad)
-        sl = tuple(slice(pad - int(si), pad - int(si) + dim)
-                   for si, dim in zip(s, (Z + 2 * pad, Y + 2 * pad,
-                                          X + 2 * pad)))
-        big = jnp.pad(padded[q], [(pad, pad)] * 3)[sl]
-        out.append(big)
+        # out[x] = padded[q][x - s] (static shift, zero fill via margin)
+        big = jnp.pad(padded[q], [(int(m), int(m)) for m in margin])
+        sl = tuple(slice(int(m) - int(si), int(m) - int(si) + dim)
+                   for m, si, dim in zip(margin, s, dims))
+        out.append(big[sl])
     G = jnp.stack(out, 0)
-    lanes = (Y + 2 * pad) * (X + 2 * pad)
-    lanes_al = -(-lanes // 128) * 128
-    G = G.reshape(tuple(int(p) for p in ps) + (Z + 2 * pad, lanes))
-    # align the lane dim to 128 (tpu.dynamic_rotate requirement); the tail
-    # zeros are never read for in-plane shifts (they sit beyond the pad
-    # rows) and only feed zero wraps
-    G = jnp.pad(G, [(0, 0)] * 4 + [(0, lanes_al - lanes)])
-    # (psz, psy, psx, Zp, lanes) -> (psz, Zp, psy, psx, lanes): the last two
-    # block dims must equal the array dims for Mosaic
-    return jnp.transpose(G, (0, 3, 1, 2, 4))
+    return G.reshape(tuple(int(p) for p in ps) + dims)
 
 
 def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
-            cons_ref, cnt_ref, a_s, b_s, hi_s, lo_s,
-            *, ps, pad, plane_w, th, weight_mode, dyx_chunk):
+            cons_ref, *refs,
+            ps, my, mx, th, weight_mode, n_dx, Y, X, fuse_norm,
+            with_counts):
+    # counts accumulate in VMEM scratch; with fuse_norm the normalization
+    # happens in-kernel on the last qz step and the count array never
+    # reaches HBM (it is half the consensus memory/traffic)
+    if with_counts:
+        cnt_ref, cnt_s = refs
+    else:
+        (cnt_s,) = refs
     psz, psy, psx = ps
     dz = pl.program_id(1)
-    dyx_c = pl.program_id(2)
-    qz = pl.program_id(3)
+    qz = pl.program_id(2)
     qz2 = qz + dz - (psz - 1)
 
     @pl.when(qz == 0)
     def _init():
         cons_ref[...] = jnp.zeros_like(cons_ref)
-        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+        cnt_s[...] = jnp.zeros_like(cnt_s)
 
     valid_z = (qz2 >= 0) & (qz2 < psz)
 
     @pl.when(valid_z)
     def _compute():
-        lanes = a_l.shape[-1]
-        nq = psy * psx
-        # pad rows to a sublane multiple: tpu.dynamic_rotate miscompiles on
-        # some non-8-multiple row counts (observed at 49 rows)
-        nq_pad = -(-nq // 8) * 8
-        zrows = jnp.zeros((nq_pad - nq, lanes), jnp.float32)
+        def dy_body(dyi, _):
+            dy = dyi - (psy - 1)
+            y0 = my + dy                   # dynamic, always >= my-psy+1 >= 0
 
-        def padded(x):
-            return jnp.concatenate([x.reshape(nq, lanes), zrows], axis=0)
+            for k in range(n_dx):          # static unroll
+                dx = k - (psx - 1)
+                x0 = mx + dx               # static
 
-        A_r0 = padded(a_r[0, 0])
-        B_r0 = padded(b_r[0, 0])
-        HI_r0 = padded(hi_r[0, 0])
-        LO_r0 = padded(lo_r[0, 0])
+                def q_body(qyx, accs):
+                    acc_c, acc_n = accs
+                    qy = qyx // psx
+                    qx = qyx % psx
+                    q2y = qy + dy
+                    q2x = qx + dx
+                    self_pair = (qz2 == qz) & (dy == 0) & (dx == 0)
+                    ok = ((q2y >= 0) & (q2y < psy)
+                          & (q2x >= 0) & (q2x < psx)
+                          & jnp.logical_not(self_pair))
+                    q2yc = jnp.clip(q2y, 0, psy - 1)
+                    q2xc = jnp.clip(q2x, 0, psx - 1)
 
-        def d_body(k, _):
-            dyx = dyx_c * dyx_chunk + k
-            dy = dyx // (2 * psx - 1) - (psy - 1)
-            dx = dyx % (2 * psx - 1) - (psx - 1)
-            # total offset 0 would pair a patch pixel with itself
-            # (po1 == po2, excluded by the reference kernel)
-            self_pair = (qz2 == qz) & (dy == 0) & (dx == 0)
-            shift = dy * plane_w + dx
-            # roll so that R[x] becomes R[x + shift]; wrapped lanes land in
-            # the zero pad.  Rolled planes go through scratch so the q loop
-            # can index them dynamically (Mosaic: dynamic indexing is a ref
-            # operation).
-            a_s[...] = pltpu.roll(A_r0, -shift, 1)
-            b_s[...] = pltpu.roll(B_r0, -shift, 1)
-            hi_s[...] = pltpu.roll(HI_r0, -shift, 1)
-            lo_s[...] = pltpu.roll(LO_r0, -shift, 1)
+                    al = a_l[0, qy, qx, 0]
+                    bl = b_l[0, qy, qx, 0]
+                    hl = hi_l[0, qy, qx, 0]
+                    ll = lo_l[0, qy, qx, 0]
+                    rsl = (0, q2yc, q2xc, 0, pl.ds(y0, Y),
+                           slice(x0, x0 + X))
+                    ar = a_r[rsl]
+                    br = b_r[rsl]
+                    hr = hi_r[rsl]
+                    lr = lo_r[rsl]
+                    g = ok.astype(jnp.float32)
+                    pp = al * (ar - br) - bl * ar
+                    sc = hl * (hr - lr) - ll * hr
+                    if weight_mode == "norm_prob_product":
+                        contrib = (pp - th * th * sc) / (1.0 - th * th)
+                    elif weight_mode == "prob_product":
+                        contrib = pp
+                    else:
+                        contrib = sc
+                    cnt = hl * (hr + lr) + ll * hr
+                    return acc_c + g * contrib, acc_n + g * cnt
 
-            def q_body(qyx, accs):
-                acc_c, acc_n = accs
-                qy = qyx // psx
-                qx = qyx % psx
-                q2y = qy + dy
-                q2x = qx + dx
-                ok = ((q2y >= 0) & (q2y < psy) & (q2x >= 0) & (q2x < psx)
-                      & jnp.logical_not(self_pair))
-                q2yc = jnp.clip(q2y, 0, psy - 1)
-                q2xc = jnp.clip(q2x, 0, psx - 1)
-                j = q2yc * psx + q2xc
-
-                al = a_l[0, 0, qy, qx, :]
-                bl = b_l[0, 0, qy, qx, :]
-                hl = hi_l[0, 0, qy, qx, :]
-                ll = lo_l[0, 0, qy, qx, :]
-                ar = a_s[j, :]
-                br = b_s[j, :]
-                hr = hi_s[j, :]
-                lr = lo_s[j, :]
-                g = ok.astype(jnp.float32)
-                pp = al * (ar - br) - bl * ar
-                sc = hl * (hr - lr) - ll * hr
-                if weight_mode == "norm_prob_product":
-                    contrib = (pp - th * th * sc) / (1.0 - th * th)
-                elif weight_mode == "prob_product":
-                    contrib = pp
-                else:
-                    contrib = sc
-                cnt = hl * (hr + lr) + ll * hr
-                return acc_c + g * contrib, acc_n + g * cnt
-
-            acc0 = jnp.zeros((lanes,), jnp.float32)
-            acc_c, acc_n = jax.lax.fori_loop(0, nq, q_body, (acc0, acc0))
-            cons_ref[0, 0, 0, k, :] += acc_c
-            cnt_ref[0, 0, 0, k, :] += acc_n
+                acc0 = jnp.zeros((Y, X), jnp.float32)
+                acc_c, acc_n = jax.lax.fori_loop(0, psy * psx, q_body,
+                                                 (acc0, acc0))
+                cons_ref[0, dyi, k, 0] += acc_c
+                cnt_s[dyi, k] += acc_n
             return ()
 
-        jax.lax.fori_loop(0, dyx_chunk, d_body, ())
+        jax.lax.fori_loop(0, 2 * psy - 1, dy_body, ())
+
+    @pl.when(qz == psz - 1)
+    def _finish():
+        if fuse_norm:
+            cnt = cnt_s[...]
+            cons = cons_ref[0, :, :, 0]
+            cons_ref[0, :, :, 0] = jnp.where(
+                cnt != 0, cons / jnp.maximum(cnt, 1e-30), cons)
+        if with_counts:
+            cnt_ref[0, :, :, 0] = cnt_s[...]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_counts"))
@@ -164,11 +179,6 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
                            with_counts: bool = False,
                            center_valid: jnp.ndarray | None = None):
     """Consensus via the Pallas kernel (3D patchshapes).
-
-    KNOWN LIMIT: in-plane patch extents must be <= 5 - larger extents
-    produce lane rotates > 128 that miscompile/fault in current Mosaic
-    (tpu.dynamic_rotate); callers should fall back to consensus_array +
-    symmetrize_consensus (pallas_supported() checks this).
 
     Returns the SYMMETRIZED consensus (both pair orientations populated,
     cons[d][x] == cons[-d][x+d]); the canonical lex-positive half is
@@ -180,85 +190,74 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
     ps = np.asarray(cfg.ps)
     assert len(ps) == 3, "pallas consensus expects 3D (use 1 for flat axes)"
     psz, psy, psx = (int(p) for p in ps)
-    P = cfg.P
-    Z, Y, X = affs.shape[1:]
-    pad = max(int(ps.max()) - 1, 1)
-    plane_w = X + 2 * pad
-    lanes_real = (Y + 2 * pad) * plane_w
-    lanes = -(-lanes_real // 128) * 128
-    Zp = Z + 2 * pad
-    neigh = cfg.neigh
-    n_dyx = int(neigh[1] * neigh[2])
+    rad = ps // 2
+    Z, Y, X = (int(s) for s in affs.shape[1:])
+    neigh = tuple(int(n) for n in cfg.neigh)
+    n_dx = int(neigh[2])
+    assert n_dx <= _MAX_NDX_UNROLL, "dx unroll budget exceeded"
 
     hi, lo, _ = _masks(affs, cfg, overlap, center_valid)
     a = affs * hi
     b = (1.0 - affs) * lo
-    A = _target_align_pad(a, ps, pad)
-    B = _target_align_pad(b, ps, pad)
-    HI = _target_align_pad(hi, ps, pad)
-    LO = _target_align_pad(lo, ps, pad)
 
-    dyx_chunk = int(neigh[2])          # one dy row of offsets per cell
-    n_dyx_chunks = n_dyx // dyx_chunk
-    grid = (Z, int(neigh[0]), n_dyx_chunks, psz)
+    # left operand: aligned with rad margin then cropped to the valid
+    # region; right: displacement + alignment margin per axis
+    rm = tuple(int(r + p - 1) for r, p in zip(rad, ps))
+    mz, my, mx = rm
+    lcrop = (slice(None),) * 3 + tuple(
+        slice(int(r), int(r) + s) for r, s in zip(rad, (Z, Y, X)))
+    L = [_target_aligned(t, ps, tuple(int(r) for r in rad))[lcrop]
+         for t in (a, b, hi, lo)]
+    R = [_target_aligned(t, ps, rm) for t in (a, b, hi, lo)]
 
-    def left_map(z, dz, dyx_c, qz):
-        return (qz, z + pad, 0, 0, 0)
+    grid = (Z, neigh[0], psz)
 
-    def right_map(z, dz, dyx_c, qz):
+    def left_map(z, dz, qz):
+        return (qz, 0, 0, z, 0, 0)
+
+    def right_map(z, dz, qz):
         qz2 = jnp.clip(qz + dz - (psz - 1), 0, psz - 1)
-        return (qz2, z + pad + dz - (psz - 1), 0, 0, 0)
+        zsel = z + mz + dz - (psz - 1)
+        return (qz2, 0, 0, zsel, 0, 0)
 
-    def out_map(z, dz, dyx_c, qz):
-        return (z, dz, dyx_c, 0, 0)
+    def out_map(z, dz, qz):
+        # output written directly in neighborhood-major layout
+        # (ndz, ndy, ndx, Z, Y, X): no post-kernel transpose copies
+        return (dz, 0, 0, z, 0, 0)
 
-    in_block = pl.BlockSpec((1, 1, psy, psx, lanes), left_map,
-                            memory_space=pltpu.VMEM)
-    in_block_r = pl.BlockSpec((1, 1, psy, psx, lanes), right_map,
+    # arrays are (psz, psy, psx, Zm, Ym, Xm); blocks take one z plane of
+    # one qz with all (psy, psx) G-planes resident
+    in_block_l = pl.BlockSpec((1, psy, psx, 1, Y, X), left_map,
                               memory_space=pltpu.VMEM)
-    out_block = pl.BlockSpec((1, 1, 1, dyx_chunk, lanes), out_map,
+    in_block_r = pl.BlockSpec((1, psy, psx, 1, Y + 2 * my, X + 2 * mx),
+                              right_map, memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, neigh[1], n_dx, 1, Y, X), out_map,
                              memory_space=pltpu.VMEM)
 
+    fuse_norm = bool(cfg.norm_aff)
     kernel = functools.partial(
-        _kernel, ps=(psz, psy, psx), pad=pad, plane_w=plane_w,
+        _kernel, ps=(psz, psy, psx), my=my, mx=mx,
         th=float(cfg.patch_threshold), weight_mode=cfg.weight_mode,
-        dyx_chunk=dyx_chunk)
+        n_dx=n_dx, Y=Y, X=X, fuse_norm=fuse_norm,
+        with_counts=with_counts)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((Z, int(neigh[0]), n_dyx_chunks, dyx_chunk,
-                              lanes), jnp.float32),
-        jax.ShapeDtypeStruct((Z, int(neigh[0]), n_dyx_chunks, dyx_chunk,
-                              lanes), jnp.float32),
-    ]
-    cons_r, cnt_r = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(
+        (neigh[0], neigh[1], n_dx, Z, Y, X), jnp.float32)]
+    out_specs = [out_block]
+    if with_counts:
+        out_shape.append(out_shape[0])
+        out_specs.append(out_block)
+    res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_block, in_block, in_block, in_block,
-                  in_block_r, in_block_r, in_block_r, in_block_r],
-        out_specs=[out_block, out_block],
+        in_specs=[in_block_l] * 4 + [in_block_r] * 4,
+        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((-(-(psy * psx) // 8) * 8, lanes), jnp.float32)
-            for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((neigh[1], n_dx, Y, X), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-    )(A, B, HI, LO, A, B, HI, LO)
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*L, *R)
 
-    # (Z, ndz, n_dyx, 1, lanes) -> (*neigh, Z, Y, X): unflatten the padded
-    # plane and crop
-    def finish(t):
-        t = t.reshape(Z, int(neigh[0]), n_dyx, lanes)[..., :lanes_real]
-        t = t.reshape(Z, int(neigh[0]), n_dyx, Y + 2 * pad, plane_w)
-        t = t[:, :, :, pad:pad + Y, pad:pad + X]
-        t = jnp.moveaxis(t, 0, 2)          # (ndz, n_dyx, Z, Y, X)
-        return t.reshape(int(neigh[0]), int(neigh[1]), int(neigh[2]),
-                         Z, Y, X)
-
-    cons = finish(cons_r)
-    cnt = finish(cnt_r)
-
-    if cfg.norm_aff:
-        cons = jnp.where(cnt != 0, cons / jnp.maximum(cnt, 1e-30), cons)
     if with_counts:
-        return cons, cnt
-    return cons
+        return res[0], res[1]
+    return res[0]

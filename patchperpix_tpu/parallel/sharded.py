@@ -126,15 +126,20 @@ def sharded_consensus_and_rank(
         scores_loc = scores_ext[halo:halo + local]
         return cons_loc, scores_loc
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     spec_affs = P(None, axis, None, None)
     spec_ov = P(axis, None, None)
     spec_cons = P(*([None] * ndim), axis, None, None)
     spec_scores = P(axis, None, None)
 
-    fn = shard_map(worker, mesh=mesh,
-                   in_specs=(spec_affs, spec_ov),
-                   out_specs=(spec_cons, spec_scores),
-                   check_rep=False)
+    kwargs = dict(mesh=mesh, in_specs=(spec_affs, spec_ov),
+                  out_specs=(spec_cons, spec_scores))
+    try:
+        fn = shard_map(worker, check_vma=False, **kwargs)
+    except TypeError:  # older jax spelling
+        fn = shard_map(worker, check_rep=False, **kwargs)
     return fn(affs, ov)

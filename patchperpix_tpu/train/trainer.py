@@ -283,6 +283,7 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
 
     log_path = os.path.join(tcfg.output_folder, "train_log.jsonl")
     log_f = open(log_path, "a")
+    snap_fwd = None
     t0 = time.time()
     while step < tcfg.max_iterations:
         if first_batch is not None:
@@ -325,9 +326,13 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             log_f.flush()
 
         if tcfg.snapshots and step % tcfg.snapshots == 0:
-            # periodic raw/gt snapshot hdf (gp.Snapshot, train.py:539-547)
+            # periodic raw/gt/pred snapshot hdf (gp.Snapshot saves the
+            # predictions too, train.py:539-547)
             import h5py
 
+            if snap_fwd is None:
+                snap_fwd = jax.jit(model.apply)
+            h1, h2 = snap_fwd(params, put_data(raw))
             snap_dir = os.path.join(tcfg.output_folder, "snapshots")
             os.makedirs(snap_dir, exist_ok=True)
             with h5py.File(os.path.join(
@@ -336,6 +341,12 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
                                  compression="gzip")
                 f.create_dataset("volumes/gt_labels",
                                  data=np.asarray(labels),
+                                 compression="gzip")
+                f.create_dataset("volumes/pred_head1",
+                                 data=np.asarray(h1, dtype=np.float16),
+                                 compression="gzip")
+                f.create_dataset("volumes/pred_head2",
+                                 data=np.asarray(h2, dtype=np.float16),
                                  compression="gzip")
 
         if tcfg.use_swa and step >= tcfg.swa_start \

@@ -158,3 +158,47 @@ def test_postprocess_helpers():
     assert set(np.unique(rl)) == {0, 1}
     m = clean_mask(lab > 0, 10)
     assert m.sum() == 16
+
+
+def test_score_oracle_ranking(tmp_path):
+    """use_score_oracle (ranked_patches.py:120-136): ranking comes from the
+    stored GT patch-IoU volume; with a score_threshold, zero-oracle regions
+    are never selected."""
+    labels, affs, fg = _setup_case()
+    # oracle: instance 1 region scores 1.0, instance 2 region 0.0
+    oracle = np.where(labels == 1, 1.0, 0.0).astype(np.float32)[None]
+
+    path = str(tmp_path / "s.zarr")
+    io = vio.IoZarr(path, mode="w")
+    io.create("volumes/pred_affs", affs.shape, np.float32,
+              chunks=affs.shape)
+    io.write(affs, key="volumes/pred_affs")
+    io.create("volumes/patch_iou", oracle.shape, np.float32,
+              chunks=oracle.shape)
+    io.write(oracle, key="volumes/patch_iou")
+    io.close()
+
+    import h5py
+
+    params = VoteInstancesParams(
+        patchshape=(1, 5, 5), engine="jax",
+        select_patches_for_sparse_data=True,
+        use_score_oracle=True, score_threshold=0.5,
+        crop_to_foreground=False)
+    out = do_all(path, params, result_folder=str(tmp_path / "out"))
+    with h5py.File(out, "r") as f:
+        inst = f["vote_instances"][()]
+    inst[~fg] = 0
+    # only the high-oracle instance is assembled
+    assert (inst[labels == 1] > 0).any()
+    assert not (inst[labels == 2] > 0).any()
+
+    # without the oracle both instances assemble
+    params2 = VoteInstancesParams(
+        patchshape=(1, 5, 5), engine="jax",
+        select_patches_for_sparse_data=True, crop_to_foreground=False)
+    out2 = do_all(path, params2, result_folder=str(tmp_path / "out2"))
+    with h5py.File(out2, "r") as f:
+        inst2 = f["vote_instances"][()]
+    inst2[~fg] = 0
+    assert (inst2[labels == 1] > 0).any() and (inst2[labels == 2] > 0).any()

@@ -179,3 +179,37 @@ def test_jax_pipeline_end_to_end_labels():
     inst = ref.components_to_instances(comps, affs, ps, labels.shape)
     inst[~fg] = 0
     assert len(np.unique(inst[inst > 0])) == 2
+
+
+def test_graph_components_device_matches_union_find():
+    """Device label-propagation CC == host union-find, including the
+    deterministic component/member enumeration order."""
+    import numpy as np
+
+    from patchperpix_tpu.ops import np_reference as ref
+    from patchperpix_tpu.ops.graph_device import graph_components_device
+
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n = rng.randint(5, 40)
+        pts = rng.randint(0, 30, size=(n, 3))
+        # random edges among points (with duplicates + self pairs)
+        m = rng.randint(4, 60)
+        ii = rng.randint(0, n, size=m)
+        jj = rng.randint(0, n, size=m)
+        pairs = np.concatenate([pts[ii], pts[jj]], axis=1)
+        weights = rng.randn(m).astype(np.float32)
+        host = ref.graph_components(pairs, weights, mws=False)
+        dev = graph_components_device(pairs, weights)
+        assert [list(map(tuple, c)) for c in host] == \
+            [list(map(tuple, c)) for c in dev], f"trial {trial}"
+
+
+def test_graph_components_device_empty():
+    import numpy as np
+
+    from patchperpix_tpu.ops.graph_device import graph_components_device
+
+    pairs = np.zeros((3, 6), np.int64)
+    weights = np.array([-1.0, 0.0, -0.5], np.float32)
+    assert graph_components_device(pairs, weights) == []

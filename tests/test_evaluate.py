@@ -228,3 +228,31 @@ def test_tp_skel_coverage_uses_assigned_pred():
     th5 = res["confusion_matrix"]["th_0_5"]
     assert th5["AP_TP"] == 1
     assert abs(th5["avg_tp_skel_coverage"] - 0.75) < 1e-9
+
+
+def test_average_score_over_instances():
+    """Instance-count-weighted fold averaging (run_ppp.py:1609-1671):
+    TP/FP/FN summed before the F-score, coverages concatenated."""
+    from patchperpix_tpu.evaluate import (average_score_over_instances,
+                                          average_score_with_instance_counts)
+
+    ths = (0.5,)
+
+    def md(tp, fp, fn, covs):
+        return {"general": {"gt_skel_coverage": covs},
+                "confusion_matrix": {"th_0_5": {
+                    "AP_TP": tp, "AP_FP": fp, "AP_FN": fn,
+                    "false_split": 1, "false_merge": 0}}}
+
+    # sample A: 1 gt (TP), sample B: 3 gts (1 TP 2 FN)
+    dicts = {"a": md(1, 0, 0, [1.0]), "b": md(1, 0, 2, [0.5, 0.0, 1.0])}
+    avs, counts = average_score_over_instances(dicts, thresholds=ths)
+    # fscore = 2*2/(2*2+0+2) = 2/3 ; mean cov = 0.625
+    assert abs(avs - 0.5 * (2 / 3) - 0.5 * 0.625) < 1e-9
+    assert counts["tp"] == [2] and counts["fn"] == [2]
+    assert counts["false_split"] == 2
+
+    avs2, acc = average_score_with_instance_counts(counts, counts)
+    assert abs(acc["avFscore"] - 2 / 3) < 1e-9
+    assert acc["false_split"] == 4
+    assert abs(avs2 - avs) < 1e-9
