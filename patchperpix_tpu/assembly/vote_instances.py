@@ -107,8 +107,15 @@ class VoteInstancesParams:
                                      # from model quality)
     score_oracle_key: str = "volumes/patch_iou"
     return_intermediates: bool = False
+    store_intermediates: bool = False  # persist pairs/graph .npy next to
+                                       # the result for 2-phase resume
+                                       # (aff_patch_graph.py:96-110)
     selected_patches: list | None = None
     selected_patch_pairs: np.ndarray | None = None
+    aff_graph: np.ndarray | None = None  # precomputed edge weights: with
+                                         # selected_patch_pairs, skips all
+                                         # compute and goes straight to
+                                         # labeling (affGraphToInstancesT)
     oracle_scores: np.ndarray | None = None   # per-pixel IoU volume
     seed: int = 0
 
@@ -216,6 +223,29 @@ def to_instance_seg(
         logger.info("no fg found, returning")
         if params.return_intermediates:
             return None, None
+        return _maybe_unpad(instances, foreground, rad, params)
+
+    # precomputed-graph shortcut (affGraphToInstancesT,
+    # graph_to_labeling.py:16-31): skip all compute, label directly
+    if params.aff_graph is not None \
+            and params.selected_patch_pairs is not None:
+        pairs = np.asarray(params.selected_patch_pairs)
+        weights = np.asarray(params.aff_graph, dtype=np.float32)
+        comps = ref.graph_components(pairs, weights, mws=params.mws)
+        paint_src = pred_affs
+        if affs_on_device:
+            nodes = [idx for comp in comps for idx in comp]
+            paint_src = {}
+            if nodes:
+                pts = np.asarray(nodes, dtype=np.int64)
+                cols = np.asarray(pred_affs[(slice(None),) + tuple(pts.T)])
+                paint_src = {tuple(int(x) for x in c): cols[:, i]
+                             for i, c in enumerate(pts)}
+        instances = ref.components_to_instances(
+            comps, paint_src, ps, vol_shape,
+            patch_threshold=params.patch_threshold,
+            one_instance_per_channel=params.one_instance_per_channel,
+            no_overlap_per_channel=params.no_overlap_per_channel)
         return _maybe_unpad(instances, foreground, rad, params)
 
     ccfg = params.consensus_config()
@@ -543,6 +573,27 @@ def _do_all_inner(aff_file: str, params: VoteInstancesParams,
     else:
         affs, numinst, foreground = load_affinities(aff_file, params)
         mask = foreground.copy()
+        if params.store_intermediates:
+            # 2-phase with .npy persistence + resume
+            # (aff_patch_graph.py:96-110): pairs/graph computed once,
+            # labeling re-runs from the stored arrays
+            from dataclasses import replace
+
+            base0 = os.path.splitext(os.path.basename(aff_file))[0]
+            pp_path = os.path.join(result_folder,
+                                   base0 + "_selected_patch_pairs.npy")
+            ag_path = os.path.join(result_folder, base0 + "_aff_graph.npy")
+            if not (os.path.exists(pp_path) and os.path.exists(ag_path)):
+                pairs, weights = to_instance_seg(
+                    affs, foreground, mask.copy(), numinst,
+                    replace(params, return_intermediates=True))
+                if pairs is not None:
+                    np.save(pp_path, pairs)
+                    np.save(ag_path, np.asarray(weights))
+            if os.path.exists(pp_path):
+                params = replace(params,
+                                 selected_patch_pairs=np.load(pp_path),
+                                 aff_graph=np.load(ag_path))
         instances, fg_out = to_instance_seg(affs, foreground, mask,
                                             numinst, params)
     if params.remove_small_comps > 0:

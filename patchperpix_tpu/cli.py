@@ -234,12 +234,19 @@ def train(args, config, paths):
     fmt = data.get("input_format", "zarr")
     clipmax = config.get("preprocessing", {}).get("clipmax")
 
+    ov_folder = tr.get("sampling", {}).get("overlap_csv_folder")
+
     def _load_dir(d, partly=None):
-        return [load_sample(os.path.join(d, s + "." + fmt),
-                            data.get("raw_key", "volumes/raw"),
-                            data.get("gt_key", "volumes/gt_instances"),
-                            clipmax=clipmax, partly=partly)
-                for s in list_samples(d, fmt)]
+        out = []
+        for s in list_samples(d, fmt):
+            csv = (os.path.join(ov_folder, s + ".csv")
+                   if ov_folder else None)
+            out.append(load_sample(
+                os.path.join(d, s + "." + fmt),
+                data.get("raw_key", "volumes/raw"),
+                data.get("gt_key", "volumes/gt_instances"),
+                clipmax=clipmax, partly=partly, overlap_csv=csv))
+        return out
 
     samples = _load_dir(train_dir, partly=False)
     add_partly = bool(tr.get("add_partly", False))
@@ -288,6 +295,7 @@ def train(args, config, paths):
         probability_overlap=sampling.get("probability_overlap", 0.25),
         probability_random=sampling.get("probability_random", 0.05),
         min_masked=sampling.get("min_masked", 0.0),
+        point_balance_radius=sampling.get("point_balance_radius", 0.0),
         augment=acfg)
     sampler = CropSampler(samples, scfg)
     pf = Prefetcher(sampler, cache_size=tr.get("cache_size", 8),
@@ -350,6 +358,9 @@ def predict(args, config, paths, mode=None, checkpoint=None):
         samples = [s for s in samples if s == args.sample]
     if getattr(args, "predict_single", False):
         samples = samples[:1]
+    from .parallel.multihost import shard_samples
+
+    samples = shard_samples(samples)  # multi-host fan-out (no-op solo)
     done = []
     for s in samples:
         out_path = os.path.join(out_dir, s + ".zarr")
@@ -430,6 +441,9 @@ def label(args, config, paths, mode=None, checkpoint=None,
             logger.info("skipping %s (labelled)", s)
             continue
         todo.append((s, path))
+    from .parallel.multihost import shard_samples
+
+    todo = shard_samples(todo)  # multi-host fan-out (no-op solo)
 
     # sample parallelism (ref mp.Pool(num_parallel_samples) + GPU mutex,
     # run_ppp.py:1070-1081): a thread pool suffices here — the JAX runtime
@@ -478,6 +492,9 @@ def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
         gt_file = os.path.join(data_dir,
                                s + "." + data.get("input_format", "zarr"))
         jobs.append((s, path, gt_file))
+    from .parallel.multihost import shard_samples
+
+    jobs = shard_samples(jobs)  # multi-host fan-out (no-op solo)
 
     # per-sample parallel evaluation (ref joblib, run_ppp.py:1469-1475)
     n_workers = int(ev.get("num_workers", 1))
@@ -679,25 +696,22 @@ def evaluate_prediction(args, config, paths, mode=None, checkpoint=None):
 
 @time_func
 def postprocess(args, config, paths):
-    """Small-component removal over instanced outputs (run_ppp.py:2230-2259)."""
-    import h5py
-
-    from .utils.postprocess import remove_small_components
+    """Instance cleanup + optional per-instance skeleton NRRD export
+    (run_ppp.py:2230-2259, util/postprocess.py:76-119)."""
+    from .utils.postprocess import postprocess_instances
 
     checkpoint = _resolve_checkpoint(args, config, paths)
     inst_dir = os.path.join(paths[f"{args.mode}_instanced"], str(checkpoint))
-    rm = config.get("postprocessing", {}).get("remove_small_comps",
-                                              config.get("vote_instances",
-                                                         {}).get(
-                                                  "remove_small_comps", 0))
+    pp = config.get("postprocessing", {})
+    rm = pp.get("remove_small_comps",
+                config.get("vote_instances", {}).get(
+                    "remove_small_comps", 0))
     for path in sorted(glob.glob(os.path.join(inst_dir, "*.hdf"))):
-        with h5py.File(path, "a") as f:
-            inst = f["vote_instances"][()]
-            out = remove_small_components(inst, rm)
-            if "vote_instances_pp" in f:
-                del f["vote_instances_pp"]
-            f.create_dataset("vote_instances_pp", data=out,
-                             compression="gzip")
+        postprocess_instances(
+            path, res_key=config.get("evaluation", {}).get(
+                "res_key", "vote_instances"),
+            remove_small_comps=rm,
+            export_skeleton_nrrds=pp.get("export_skeleton_nrrds", False))
     return inst_dir
 
 
@@ -707,9 +721,11 @@ def visualize(args, config, paths):
     import h5py
 
     from .visualize import visualize_instances
+    from .visualize.patches import visualize_patches
 
     checkpoint = _resolve_checkpoint(args, config, paths)
     inst_dir = os.path.join(paths[f"{args.mode}_instanced"], str(checkpoint))
+    viz = config.get("visualize", {})
     out = []
     for path in sorted(glob.glob(os.path.join(inst_dir, "*.hdf"))):
         s = os.path.splitext(os.path.basename(path))[0]
@@ -718,6 +734,25 @@ def visualize(args, config, paths):
         png = os.path.join(inst_dir, s + ".png")
         visualize_instances(inst, png)
         out.append(png)
+    if viz.get("show_patches"):
+        # patch-prediction mosaics from the processed zarrs
+        proc = os.path.join(paths[f"{args.mode}_processed"],
+                            str(checkpoint))
+        ps = tuple(config["model"]["patchshape"])
+        for path in sorted(glob.glob(os.path.join(proc, "*.zarr"))):
+            s = os.path.splitext(os.path.basename(path))[0]
+            io = vio.open_volume(path, mode="r")
+            try:
+                affs = io.read(key=config.get("prediction", {}).get(
+                    "aff_key", "volumes/pred_affs")).astype(np.float32)
+            except Exception:
+                io.close()
+                continue
+            io.close()
+            png = os.path.join(proc, s + "_patches.png")
+            visualize_patches(affs, ps, png,
+                              z=viz.get("patch_mosaic_z"))
+            out.append(png)
     return out
 
 

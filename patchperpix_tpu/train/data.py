@@ -38,11 +38,22 @@ class SampleData:
     partly: bool = False     # partly-labeled sample -> per-pixel loss mask
                              # derived in the train step (ref CreateMask,
                              # train.py:735-741)
+    overlap_points: np.ndarray | None = None  # CSV point source for the
+                             # overlap-biased pool (ref close_to_overlap
+                             # csv sources, train.py:600-611, 841-855)
+
+
+def load_overlap_csv(path: str) -> np.ndarray:
+    """(N, d) int coordinates from a close_to_overlap CSV (one point per
+    line, comma/whitespace separated)."""
+    pts = np.loadtxt(path, delimiter=",", dtype=np.int64, ndmin=2)
+    return pts
 
 
 def load_sample(path: str, raw_key: str, gt_key: str,
                 clipmax: float | None = None,
-                partly: bool | None = None) -> SampleData:
+                partly: bool | None = None,
+                overlap_csv: str | None = None) -> SampleData:
     io = vio.open_volume(path, mode="r")
     raw = io.read(key=raw_key).astype(np.float32)
     labels = io.read(key=gt_key)
@@ -59,8 +70,15 @@ def load_sample(path: str, raw_key: str, gt_key: str,
     overlap = np.sum(labels > 0, axis=0) > 1
     if partly is None:
         partly = "partly" in str(path)  # ref train.py:700 ('"partly" in fn')
+    pts = None
+    if overlap_csv is not None:
+        import os
+
+        if os.path.exists(overlap_csv):
+            pts = load_overlap_csv(overlap_csv)
     return SampleData(raw=raw, labels=labels.astype(np.int32),
-                      fg_mask=fg, overlap_mask=overlap, partly=bool(partly))
+                      fg_mask=fg, overlap_mask=overlap, partly=bool(partly),
+                      overlap_points=pts)
 
 
 @dataclass
@@ -90,6 +108,9 @@ class SamplerConfig:
     probability_overlap: float = 0.25
     probability_random: float = 0.05
     min_masked: float = 0.0
+    point_balance_radius: float = 0.0   # balance CSV point density
+                                        # (gp.RandomLocation analog,
+                                        # train.py:849-852)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
     seed: int = 0
 
@@ -109,7 +130,26 @@ class CropSampler:
         self.label_shape = tuple(int(o + 2 * (p // 2))
                                  for o, p in zip(cfg.output_shape, ps))
         self._fg_coords = [np.argwhere(s.fg_mask) for s in samples]
-        self._ov_coords = [np.argwhere(s.overlap_mask) for s in samples]
+        # overlap pool: CSV close_to_overlap points when provided
+        # (train.py:841-855), else the derived overlap mask
+        self._ov_coords = [s.overlap_points if s.overlap_points is not None
+                           else np.argwhere(s.overlap_mask)
+                           for s in samples]
+        # point_balance_radius: weight each point by 1/#neighbors within
+        # the radius so dense clusters don't dominate (gp.RandomLocation)
+        self._ov_weights = []
+        pbr = cfg.point_balance_radius
+        for pts in self._ov_coords:
+            if pbr > 0 and len(pts) > 1:
+                from scipy.spatial import cKDTree
+
+                tree = cKDTree(pts)
+                counts = np.array([len(tree.query_ball_point(p, pbr))
+                                   for p in pts], dtype=np.float64)
+                w = 1.0 / np.maximum(counts, 1)
+                self._ov_weights.append(w / w.sum())
+            else:
+                self._ov_weights.append(None)
 
     def _choose_center(self, si: int) -> np.ndarray:
         s = self.samples[si]
@@ -121,6 +161,9 @@ class CropSampler:
             pool = self._fg_coords[si]
         elif r < p_fg + p_ov and len(self._ov_coords[si]):
             pool = self._ov_coords[si]
+            w = self._ov_weights[si]
+            if w is not None:
+                return pool[self.rng.choice(len(pool), p=w)]
         else:
             return np.array([self.rng.randint(0, d) for d in spatial])
         return pool[self.rng.randint(len(pool))]

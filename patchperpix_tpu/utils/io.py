@@ -241,3 +241,38 @@ def check_file(path: str, keys=None, remove_on_error: bool = False) -> bool:
             else:
                 os.remove(path)
         return False
+
+
+def write_nrrd(path: str, arr: np.ndarray):
+    """Minimal NRRD writer (raw encoding) for skeleton exports
+    (util/postprocess.py:110-119 uses the external nrrd package, not
+    installed here; the format is a text header + raw little-endian data).
+    """
+    arr = np.ascontiguousarray(arr)
+    type_map = {np.dtype(np.uint8): "uint8", np.dtype(np.uint16): "uint16",
+                np.dtype(np.int32): "int32", np.dtype(np.float32): "float"}
+    t = type_map.get(arr.dtype)
+    if t is None:
+        arr = arr.astype(np.float32)
+        t = "float"
+    # nrrd sizes are fastest-first (Fortran); a C-contiguous array's axes
+    # are slowest-first, so list them reversed
+    sizes = " ".join(str(s) for s in reversed(arr.shape))
+    header = (f"NRRD0004\ntype: {t}\ndimension: {arr.ndim}\n"
+              f"sizes: {sizes}\nencoding: raw\nendian: little\n\n")
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(arr.tobytes())
+
+
+def read_nrrd(path: str) -> np.ndarray:
+    """Reader for the minimal raw-encoded NRRD files write_nrrd emits."""
+    with open(path, "rb") as f:
+        data = f.read()
+    head, _, body = data.partition(b"\n\n")
+    fields = dict(line.split(": ", 1) for line in
+                  head.decode().splitlines()[1:] if ": " in line)
+    dt = {"uint8": np.uint8, "uint16": np.uint16, "int32": np.int32,
+          "float": np.float32}[fields["type"]]
+    sizes = [int(s) for s in fields["sizes"].split()]
+    return np.frombuffer(body, dtype=dt).reshape(tuple(reversed(sizes)))

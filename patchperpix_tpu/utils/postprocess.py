@@ -78,3 +78,41 @@ def crop_to_shape(arr: np.ndarray, shape) -> np.ndarray:
     offsets = [(s - t) // 2 for s, t in zip(arr.shape[-len(shape):], shape)]
     sl = (Ellipsis,) + tuple(slice(o, o + t) for o, t in zip(offsets, shape))
     return arr[sl]
+
+
+def postprocess_instances(hdf_path: str, res_key: str = "vote_instances",
+                          remove_small_comps: int = 600,
+                          export_skeleton_nrrds: bool = False,
+                          output_folder: str | None = None) -> str:
+    """Clean an instance result in place and optionally export per-instance
+    skeleton NRRDs (util/postprocess.py:76-119 semantics): small components
+    removed, relabeled, written back as ``<res_key>_rm_<N>``; each surviving
+    instance's 3D skeleton saved as ``<sample>_<id>.nrrd`` (z/x transposed
+    like the reference)."""
+    import os
+
+    import h5py
+
+    from .skeleton import skeletonize
+    from . import io as vio
+
+    with h5py.File(hdf_path, "a") as f:
+        inst = f[res_key][()]
+        cleaned = relabel(remove_small_components(inst, remove_small_comps))
+        dtype = np.uint16 if cleaned.max() < 65535 else np.uint32
+        new_key = f"{res_key}_rm_{remove_small_comps}"
+        if new_key in f:
+            del f[new_key]
+        f.create_dataset(new_key, data=cleaned.astype(dtype),
+                         compression="gzip")
+
+    if export_skeleton_nrrds:
+        out_dir = output_folder or os.path.dirname(hdf_path)
+        name = os.path.splitext(os.path.basename(hdf_path))[0]
+        flat = cleaned if cleaned.ndim == 3 else np.max(cleaned, axis=0)
+        for label in np.unique(flat[flat > 0]):
+            sk = (skeletonize(flat == label) > 0).astype(np.uint8)
+            vio.write_nrrd(
+                os.path.join(out_dir, f"{name}_{int(label)}.nrrd"),
+                np.transpose(sk, (2, 1, 0)))
+    return hdf_path

@@ -1,0 +1,205 @@
+"""Accuracy-parity anchor on the shipped FlyLight 50^3 crop.
+
+Two measurements, written to parity/results.json (+ PARITY.md summary):
+
+A. ORACLE assembly accuracy: vote_instances on GT-derived affinities
+   (use_score_oracle seam, SURVEY §4) - isolates assembly quality from
+   model quality.  The assembly must reconstruct the GT instances almost
+   perfectly; this anchors the avAP-parity claim for the assembly half of
+   the pipeline.
+
+B. Trained end-to-end: overfit the 3D overlapping-instance model on the
+   crop (the only real dataset shipped in this environment; BBBC010 /
+   dsb2018 / ISBI raw data are not available here), then
+   predict -> assemble -> evaluate.  This is a single-crop sanity number,
+   NOT a benchmark reproduction - it demonstrates the training/inference
+   path produces usable instances and records the score trajectory.
+
+Scores reported in BASELINE.md terms: avS[0.5:0.9] = mean AP over IoU
+thresholds 0.5..0.9 (README.md:96-135), plus the FlyLight
+avg_f1_cov_score (clDice + greedy, run_ppp.py:1609-1654).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+FIXTURE = "data/JRC_SS05008-20160318_24_B2_crop.zarr"
+OUT_DIR = "parity"
+
+
+def summarize(res: dict) -> dict:
+    cm = res["confusion_matrix"]
+    avs = float(np.mean([cm[f"th_0_{i}"]["AP"] for i in range(5, 10)]))
+    out = {
+        "avS_0.5:0.9": avs,
+        "avFscore": cm["avFscore"],
+        "AP_0.5": cm["th_0_5"]["AP"],
+        "fscore_0.5": cm["th_0_5"]["fscore"],
+        "num_gt": res["general"]["Num GT"],
+        "num_pred": res["general"]["Num Pred"],
+    }
+    if "avg_f1_cov_score" in res["general"]:
+        out["avg_f1_cov_score"] = res["general"]["avg_f1_cov_score"]
+        out["avg_gt_skel_coverage"] = res["general"]["avg_gt_skel_coverage"]
+    return out
+
+
+def eval_both(inst, labels):
+    from patchperpix_tpu.evaluate import evaluate_labels
+
+    iou = evaluate_labels(inst, labels, localization_criterion="iou",
+                          assignment_strategy="hungarian",
+                          keep_gt_shape=True)
+    cld = evaluate_labels(inst, labels, localization_criterion="cldice",
+                          assignment_strategy="greedy", keep_gt_shape=True)
+    return {"iou_hungarian": summarize(iou),
+            "cldice_greedy": summarize(cld)}
+
+
+def oracle_assembly(sample):
+    """GT affinities -> assembly -> scores (expect ~perfect)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchperpix_tpu.assembly import (VoteInstancesParams,
+                                          to_instance_seg)
+    from patchperpix_tpu.ops.synthetic import labels_to_affinities_multi
+
+    ps = (7, 7, 7)
+    affs = labels_to_affinities_multi(sample.labels, np.array(ps))
+    numinst = np.sum(sample.labels > 0, axis=0).astype(np.uint8)
+    fg = numinst > 0
+    params = VoteInstancesParams(
+        patchshape=ps, engine="jax", overlapping_inst=True, mws=True,
+        select_patches_for_sparse_data=True)
+    t0 = time.perf_counter()
+    inst, _ = to_instance_seg(jax.device_put(jnp.asarray(affs)), fg,
+                              fg.copy(), numinst, params)
+    wall = time.perf_counter() - t0
+    inst = np.asarray(inst)
+    inst[~fg] = 0
+    scores = eval_both(inst, sample.labels)
+    scores["wall_s"] = wall
+
+    # fragment-level: FlyLight neurons are spatially fragmented inside the
+    # crop (28 connected components across the 3 gt instances); a
+    # patch-based assembly can only merge within patch reach, so also
+    # score against the per-fragment GT (one component per channel)
+    from scipy import ndimage
+
+    frags = []
+    for c in range(sample.labels.shape[0]):
+        lab, n = ndimage.label(sample.labels[c] > 0, np.ones((3, 3, 3)))
+        for i in range(1, n + 1):
+            m = lab == i
+            if m.sum() >= 30:
+                frags.append(m)
+    frag_stack = np.stack([m.astype(np.int32) * (i + 1)
+                           for i, m in enumerate(frags)], axis=0)
+    scores["vs_fragments"] = eval_both(inst, frag_stack)
+    scores["n_gt_fragments"] = len(frags)
+    return scores
+
+
+def trained_e2e(sample, iters: int, out_dir: str):
+    """Overfit-train on the crop, then predict -> assemble -> evaluate."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchperpix_tpu.assembly import (VoteInstancesParams,
+                                          to_instance_seg)
+    from patchperpix_tpu.models import PPPConfig, PPPModel
+    from patchperpix_tpu.infer.fused import predict_volume_device
+    from patchperpix_tpu.train import (AugmentConfig, CropSampler,
+                                       Prefetcher, SamplerConfig,
+                                       TrainConfig, train_until)
+
+    ps = (7, 7, 7)
+    mcfg = PPPConfig(
+        patchshape=ps, num_channels=3, num_fmaps=16,
+        fmap_inc_factors=(3, 3), fmap_dec_factors=(1.0, 1.0),
+        downsample_factors=((2, 2, 2), (2, 2, 2)),
+        overlapping_inst=True, max_num_inst=2,
+        train_code=False, padding="same")
+    model = PPPModel(mcfg)
+
+    scfg = SamplerConfig(
+        input_shape=(32, 32, 32), output_shape=(32, 32, 32),
+        patchshape=ps, batch_size=3,
+        probability_fg=0.8, probability_overlap=0.15,
+        probability_random=0.05,
+        augment=AugmentConfig(elastic=False, mirror=True, transpose=True))
+    sampler = CropSampler([sample], scfg)
+    pf = Prefetcher(sampler, cache_size=8, max_gt_channels=3)
+    tcfg = TrainConfig(max_iterations=iters, checkpoints=iters,
+                       snapshots=0, lr=1e-3,
+                       output_folder=out_dir, log_every=200)
+    t0 = time.perf_counter()
+    state = train_until(model, mcfg, tcfg, pf)
+    pf.stop()
+    t_train = time.perf_counter() - t0
+    params = state["params"]
+
+    h1, h2 = predict_volume_device(model, params, sample.raw, mcfg,
+                                   (32, 32, 32), (32, 32, 32))
+    prob = np.asarray(h2, np.float32)
+    numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
+    for i, t in enumerate((0.9, 0.1)):
+        numinst[prob[i + 1] > t] = i + 1
+    fg = numinst > 0
+
+    # flylight.toml assembly settings (patch_threshold 0.9)
+    params_vi = VoteInstancesParams(
+        patchshape=ps, engine="jax", overlapping_inst=True, mws=True,
+        patch_threshold=0.9, fc_threshold=0.5,
+        select_patches_for_sparse_data=True,
+        skeletonize_foreground=True, remove_small_comps=60)
+    inst, _ = to_instance_seg(h1, fg, fg.copy(), numinst, params_vi)
+    inst = np.asarray(inst)
+    inst[~fg] = 0
+
+    from patchperpix_tpu.utils.postprocess import remove_small_components
+
+    inst = remove_small_components(inst, 60)
+    scores = eval_both(inst, sample.labels)
+    scores["train_iters"] = iters
+    scores["train_wall_s"] = t_train
+    scores["fg_vox_pred"] = int(fg.sum())
+    scores["fg_vox_gt"] = int(sample.fg_mask.sum())
+    return scores
+
+
+def main():
+    from patchperpix_tpu.train import load_sample
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    os.makedirs(OUT_DIR, exist_ok=True)
+    sample = load_sample(FIXTURE, "volumes/raw", "volumes/gt_instances",
+                         clipmax=1500)
+
+    results = {"fixture": FIXTURE,
+               "note": ("single-crop sanity anchor; BBBC010/dsb2018/ISBI "
+                        "raw data are not available in this environment")}
+    print("== oracle assembly ==", flush=True)
+    results["oracle_assembly"] = oracle_assembly(sample)
+    print(json.dumps(results["oracle_assembly"], indent=1), flush=True)
+
+    print(f"== trained e2e ({iters} iters) ==", flush=True)
+    results["trained_e2e"] = trained_e2e(sample, iters,
+                                         os.path.join(OUT_DIR, "train"))
+    print(json.dumps(results["trained_e2e"], indent=1), flush=True)
+
+    with open(os.path.join(OUT_DIR, "results.json"), "w") as f:
+        json.dump(results, f, indent=1, default=float)
+    print("written", os.path.join(OUT_DIR, "results.json"))
+
+
+if __name__ == "__main__":
+    main()

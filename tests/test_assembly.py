@@ -202,3 +202,62 @@ def test_score_oracle_ranking(tmp_path):
         inst2 = f["vote_instances"][()]
     inst2[~fg] = 0
     assert (inst2[labels == 1] > 0).any() and (inst2[labels == 2] > 0).any()
+
+
+def test_store_intermediates_resume(tmp_path):
+    """2-phase npy persistence (aff_patch_graph.py:96-110): pairs/graph
+    saved next to the result; a rerun labels from the stored arrays."""
+    import os
+
+    import h5py
+
+    labels, affs, fg = _setup_case()
+    path = str(tmp_path / "s.zarr")
+    io = vio.IoZarr(path, mode="w")
+    io.create("volumes/pred_affs", affs.shape, np.float32,
+              chunks=affs.shape)
+    io.write(affs, key="volumes/pred_affs")
+    io.close()
+
+    params = VoteInstancesParams(
+        patchshape=(1, 5, 5), engine="jax", removeIntersection=False,
+        select_patches_for_sparse_data=True, store_intermediates=True)
+    out_dir = str(tmp_path / "out")
+    out = do_all(path, params, result_folder=out_dir)
+    pp = os.path.join(out_dir, "s_selected_patch_pairs.npy")
+    ag = os.path.join(out_dir, "s_aff_graph.npy")
+    assert os.path.exists(pp) and os.path.exists(ag)
+    with h5py.File(out, "r") as f:
+        inst1 = f["vote_instances"][()]
+
+    # resume: rerun labels from the stored intermediates (mtimes untouched)
+    os.remove(out)
+    m1, m2 = os.path.getmtime(pp), os.path.getmtime(ag)
+    out = do_all(path, params, result_folder=out_dir)
+    assert os.path.getmtime(pp) == m1 and os.path.getmtime(ag) == m2
+    with h5py.File(out, "r") as f:
+        inst2 = f["vote_instances"][()]
+    np.testing.assert_array_equal(inst1, inst2)
+
+
+def test_postprocess_instances_and_nrrd(tmp_path):
+    import h5py
+
+    from patchperpix_tpu.utils.io import read_nrrd
+    from patchperpix_tpu.utils.postprocess import postprocess_instances
+
+    inst = np.zeros((12, 12, 12), np.uint16)
+    inst[2:9, 2:9, 2:9] = 1
+    inst[10, 10, 10] = 2       # tiny comp -> removed
+    p = str(tmp_path / "s.hdf")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("vote_instances", data=inst)
+    postprocess_instances(p, remove_small_comps=5,
+                          export_skeleton_nrrds=True,
+                          output_folder=str(tmp_path))
+    with h5py.File(p, "r") as f:
+        cleaned = f["vote_instances_rm_5"][()]
+    assert set(np.unique(cleaned)) == {0, 1}
+    sk = read_nrrd(str(tmp_path / "s_1.nrrd"))
+    assert sk.shape == (12, 12, 12)
+    assert sk.sum() > 0

@@ -178,3 +178,19 @@ def test_validate_checkpoints(trained, config_file, exp_root):
     assert res["best"] is not None
     assert res["best"]["checkpoint"] == 120
     assert res["best"]["score"] > 0
+
+
+def test_multihost_shard_samples(monkeypatch):
+    from patchperpix_tpu.parallel.multihost import (owns_sample,
+                                                    shard_samples)
+
+    monkeypatch.setenv("PPP_PROCESS_INDEX", "1")
+    monkeypatch.setenv("PPP_PROCESS_COUNT", "3")
+    samples = list(range(10))
+    mine = shard_samples(samples)
+    assert mine == [1, 4, 7]
+    # partition covers everything exactly once
+    all_parts = [shard_samples(samples, index=i, count=3)
+                 for i in range(3)]
+    assert sorted(sum(all_parts, [])) == samples
+    assert owns_sample(4, index=1, count=3)
