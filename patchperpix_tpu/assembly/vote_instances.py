@@ -84,6 +84,7 @@ class VoteInstancesParams:
     vi_bg_use_less_than_th: bool = True
     rank_norm_patch_score: bool = True
     rank_int_counter: bool = False
+    consensus_bf16: bool = False   # bf16 consensus storage (halves HBM)
     patch_graph_norm_aff: bool = True
     max_total_patch_distance_in_ps_multiples: float = 2.0
     score_threshold: float | None = None
@@ -155,6 +156,7 @@ class VoteInstancesParams:
             rank_int_counter=self.rank_int_counter,
             norm_graph=self.patch_graph_norm_aff,
             overlapping_inst=self.overlapping_inst,
+            cons_bf16=self.consensus_bf16,
         )
 
 

@@ -53,6 +53,11 @@ class ConsensusConfig:
     rank_int_counter: bool = False          # rank_int_counter
     norm_graph: bool = True                 # patch_graph_norm_aff
     overlapping_inst: bool = False
+    cons_bf16: bool = False                 # store the consensus in
+                                            # bfloat16 (halves the
+                                            # (2ps-1)^d x vol HBM cost for
+                                            # large blocks; ~0.4% noise in
+                                            # rank/graph sums)
 
     @property
     def ps(self) -> np.ndarray:
@@ -239,6 +244,8 @@ def consensus_array(affs: jnp.ndarray, cfg: ConsensusConfig,
 
     if cfg.norm_aff:
         cons = jnp.where(cnt != 0, cons / jnp.maximum(cnt, 1e-30), cons)
+    if cfg.cons_bf16:
+        cons = cons.astype(jnp.bfloat16)
     if with_counts:
         return cons, cnt
     return cons
@@ -418,20 +425,25 @@ def _patch_graph_weights_jit(
 
     PK, HIs = jax.lax.map(per_patch, centers.astype(jnp.int32),
                           batch_size=8)
-    PK3 = PK.reshape((n_unique,) + tuple(int(v) for v in neigh) + (blk_len,))
 
-    # MXU formulation: acc = sum_{p1,p2} m[p1,p2] * S[dc + dp(p1,p2)][x1]
-    # = einsum(m, ONE_HOT)[p1, k] . PK_shifted[k, p1], where ONE_HOT is the
-    # STATIC (P, P, n_off) indicator of k == ravel(dp + ps - 1) and the
-    # per-pair dc enters as a zero-fill shift of the patch's consensus
-    # window over its offset axes.  Turns 2.4e9 random gathers into batched
-    # bf16 matmuls.
+    # Diagonal-regather formulation:
+    #   acc = sum_{p1,p2} m[p1,p2] * S[dc + dp(p1,p2)][x1(p1)]
+    # dp(p1,p2) depends only on the patch-offset difference, so the
+    # consensus value for every (p1, p2) is a single GATHER from the
+    # per-patch window PK[i] at flat index
+    #   ravel(dp + ps-1 + dc) * blk_len + p1,
+    # with a validity mask for displacements outside the neighborhood.
+    # (The round-1 one-hot MXU contraction computed the same thing as a
+    # (P,P)x(P,P,n_off) bf16 matmul whose 0.5 GB ONE_HOT operand was
+    # re-streamed from HBM per pair batch - the gather is ~2000x fewer
+    # element touches.)
     ps_np = np.asarray(cfg.ps)
     base_d = dp + (ps_np - 1)[None, None, :]        # (P,P,ndim) in 0..2ps-2
     d_strides = np.array([int(np.prod(neigh[i + 1:])) for i in range(ndim)])
-    K_static = (base_d @ d_strides).astype(np.int32)          # (P, P)
-    ONE_HOT = jax.nn.one_hot(jnp.asarray(K_static), n_off,
-                             dtype=jnp.bfloat16)              # (P, P, n_off)
+    base_d_j = jnp.asarray(base_d, jnp.int32)
+    d_strides_j = jnp.asarray(d_strides, jnp.int32)
+    neigh_j = jnp.asarray(np.asarray(neigh, np.int64), jnp.int32)
+    p1_pos = jnp.arange(P, dtype=jnp.int32)[:, None]          # (P, 1)
 
     def one_pair(idx_pair):
         i, j = idx_pair[0], idx_pair[1]
@@ -463,16 +475,17 @@ def _patch_graph_weights_jit(
             keep = jnp.ones((P, P), dtype=bool)
 
         m = hi1[:, None] * hi2[None, :] * keep
-        # value sum on the MXU: out-of-range offsets read zeros from the
-        # zero-fill shift, so no in_read gate is needed for the values
-        A = jnp.einsum("pq,pqk->pk", m.astype(jnp.bfloat16), ONE_HOT,
-                       preferred_element_type=jnp.float32)
-        pk_shift = _shift_nd(PK3[i],
-                             tuple(-dc[k] for k in range(ndim)),
-                             tuple(range(ndim)))
-        pk_mat = pk_shift.reshape(n_off, blk_len)  # [k, p1-position]
-        acc = jnp.einsum("pk,kp->", A, pk_mat,
-                         preferred_element_type=jnp.float32)
+
+        # displaced offset index, masked outside the neighborhood
+        dto = base_d_j + dc[None, None, :]         # (P, P, ndim)
+        valid = jnp.all((dto >= 0) & (dto < neigh_j[None, None, :]),
+                        axis=-1)
+        k_dyn = jnp.sum(jnp.clip(dto, 0, neigh_j - 1)
+                        * d_strides_j[None, None, :], axis=-1)
+        flat_idx = k_dyn * blk_len + p1_pos        # (P, P)
+        W = jnp.take(PK[i], flat_idx.reshape(-1),
+                     mode="clip").reshape(P, P)
+        acc = jnp.sum(m * jnp.where(valid, W, 0.0))
         fg_cnt = jnp.sum(m * in_cnt)
         if cfg.norm_graph:
             return acc / jnp.maximum(1.0, fg_cnt)

@@ -93,9 +93,9 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
     # happens in-kernel on the last qz step and the count array never
     # reaches HBM (it is half the consensus memory/traffic)
     if with_counts:
-        cnt_ref, cnt_s = refs
+        cnt_ref, cons_s, cnt_s = refs
     else:
-        (cnt_s,) = refs
+        cons_s, cnt_s = refs
     psz, psy, psx = ps
     dz = pl.program_id(1)
     qz = pl.program_id(2)
@@ -103,7 +103,7 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
 
     @pl.when(qz == 0)
     def _init():
-        cons_ref[...] = jnp.zeros_like(cons_ref)
+        cons_s[...] = jnp.zeros_like(cons_s)
         cnt_s[...] = jnp.zeros_like(cnt_s)
 
     valid_z = (qz2 >= 0) & (qz2 < psz)
@@ -156,7 +156,7 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
                 acc0 = jnp.zeros((Y, X), jnp.float32)
                 acc_c, acc_n = jax.lax.fori_loop(0, psy * psx, q_body,
                                                  (acc0, acc0))
-                cons_ref[0, dyi, k, 0] += acc_c
+                cons_s[dyi, k] += acc_c
                 cnt_s[dyi, k] += acc_n
             return ()
 
@@ -164,11 +164,14 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
 
     @pl.when(qz == psz - 1)
     def _finish():
+        # accumulation stays f32 in VMEM scratch; only the final
+        # (possibly bf16) result is written to HBM
+        cons = cons_s[...]
         if fuse_norm:
             cnt = cnt_s[...]
-            cons = cons_ref[0, :, :, 0]
-            cons_ref[0, :, :, 0] = jnp.where(
-                cnt != 0, cons / jnp.maximum(cnt, 1e-30), cons)
+            cons = jnp.where(cnt != 0, cons / jnp.maximum(cnt, 1e-30),
+                             cons)
+        cons_ref[0, :, :, 0] = cons.astype(cons_ref.dtype)
         if with_counts:
             cnt_ref[0, :, :, 0] = cnt_s[...]
 
@@ -241,11 +244,13 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
         n_dx=n_dx, Y=Y, X=X, fuse_norm=fuse_norm,
         with_counts=with_counts)
 
+    out_dtype = jnp.bfloat16 if cfg.cons_bf16 else jnp.float32
     out_shape = [jax.ShapeDtypeStruct(
-        (neigh[0], neigh[1], n_dx, Z, Y, X), jnp.float32)]
+        (neigh[0], neigh[1], n_dx, Z, Y, X), out_dtype)]
     out_specs = [out_block]
     if with_counts:
-        out_shape.append(out_shape[0])
+        out_shape.append(jax.ShapeDtypeStruct(
+            (neigh[0], neigh[1], n_dx, Z, Y, X), jnp.float32))
         out_specs.append(out_block)
     res = pl.pallas_call(
         kernel,
@@ -253,7 +258,9 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
         in_specs=[in_block_l] * 4 + [in_block_r] * 4,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((neigh[1], n_dx, Y, X), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((neigh[1], n_dx, Y, X), jnp.float32),
+            pltpu.VMEM((neigh[1], n_dx, Y, X), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*L, *R)

@@ -110,6 +110,9 @@ def oracle_assembly(sample):
 
 def trained_e2e(sample, iters: int, out_dir: str):
     """Overfit-train on the crop, then predict -> assemble -> evaluate."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # fresh run, no stale resume
     import jax
     import jax.numpy as jnp
 

@@ -213,3 +213,24 @@ def test_graph_components_device_empty():
     pairs = np.zeros((3, 6), np.int64)
     weights = np.array([-1.0, 0.0, -0.5], np.float32)
     assert graph_components_device(pairs, weights) == []
+
+
+def test_consensus_bf16_storage_close():
+    """cons_bf16 halves consensus HBM; values stay within bf16 tolerance
+    and downstream ranking is unaffected at test scale."""
+    import numpy as np
+
+    from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
+                                                   consensus_array,
+                                                   rank_scores)
+
+    rng = np.random.RandomState(0)
+    affs = rng.rand(27, 6, 8, 8).astype(np.float32)
+    cfg32 = ConsensusConfig(patchshape=(3, 3, 3))
+    cfg16 = ConsensusConfig(patchshape=(3, 3, 3), cons_bf16=True)
+    c32 = np.asarray(consensus_array(affs, cfg32))
+    c16 = np.asarray(consensus_array(affs, cfg16)).astype(np.float32)
+    assert np.abs(c32 - c16).max() < 0.01
+    s32 = np.asarray(rank_scores(affs, c32, cfg32))
+    s16 = np.asarray(rank_scores(affs, c16, cfg16))
+    assert np.abs(s32 - s16).max() < 0.02
