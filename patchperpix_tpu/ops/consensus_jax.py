@@ -372,15 +372,65 @@ def _graph_gather_tables(cfg: ConsensusConfig):
     return offs, dp
 
 
+def _skew_panel(pb: jnp.ndarray, ps: np.ndarray,
+                neigh: np.ndarray) -> jnp.ndarray:
+    """(neigh..., ps...) patch consensus window -> skewed (P, E...) panel.
+
+    Input: pb[d, p] = S[d][c + offset(p) - rad] (the per-patch window).
+    Output panel[p, y] = S[y - offset(p) - (ps-1)][c + offset(p) - rad]
+    with y per-axis in [0, E), E = neigh + 3*(ps-1); out-of-range offsets
+    read zero.  After the skew, the consensus value for a pixel pair
+    (p1 in patch at c1, p2 in patch at c2) is
+
+        panel[p1, dc + 2*(ps-1) + offset(p2)]   (dc = c2 - c1)
+
+    i.e. the p1-dependence is GONE from the index: a pair's full (P, P)
+    value matrix is ONE contiguous dynamic-slice of the panel.  The skew
+    itself is the classic pad+reshape shear (stride tricks), no gathers.
+    """
+    ndim = len(ps)
+    out = pb
+    # axis layout: (d_0..d_{n-1}, p_0..p_{n-1}); skew axis ax pairs
+    # rows p_ax with cols d_ax:  B[p, y] = A[p, y - p]
+    for ax in range(ndim):
+        n_rows = int(ps[ax])
+        n_cols = out.shape[ax]
+        if n_rows == 1:
+            continue
+        # bring (p_ax, d_ax) to the last two dims
+        perm = [a for a in range(out.ndim) if a not in (ax, ndim + ax)]
+        perm += [ndim + ax, ax]
+        t = jnp.transpose(out, perm)             # (..., p_ax, d_ax)
+        lead = t.shape[:-2]
+        width = n_cols + n_rows                  # pad >= n_rows for zeros
+        ext = n_cols + n_rows - 1                # skewed extent
+        t = jnp.pad(t, [(0, 0)] * len(lead) + [(0, 0), (0, n_rows)])
+        t = t.reshape(lead + (n_rows * width,))[..., :n_rows * ext]
+        t = t.reshape(lead + (n_rows, ext))
+        # restore axis order (d_ax now has extent ext)
+        inv = np.argsort(perm)
+        out = jnp.transpose(t, inv)
+    # flatten patch axes in front, pad offset axes by ps-1 both sides so a
+    # dynamic-slice start dc + 2*(ps-1) is always in range for |dc|<=2(ps-1)
+    d_ext = out.shape[:ndim]
+    out = out.reshape(tuple(d_ext) + (-1,))
+    out = jnp.moveaxis(out, -1, 0)               # (P, d_ext...)
+    out = jnp.pad(out, [(0, 0)] + [(int(p) - 1, int(p) - 1) for p in ps])
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "drop_intersection",
-                                              "n_unique"))
+                                              "n_unique", "group"))
 def _patch_graph_weights_jit(
     affs: jnp.ndarray,
     cons_sym: jnp.ndarray,
     centers: jnp.ndarray,        # (n_unique, ndim) int32 unique patch centers
-    id_pairs: jnp.ndarray,       # (n_pairs, 2) int32 indices into centers
+    seg_first: jnp.ndarray,      # (n_seg,) int32 first-patch id per segment
+    seg_partner: jnp.ndarray,    # (n_seg, G) int32 partner ids
+    seg_valid: jnp.ndarray,      # (n_seg, G) bool
     cfg: ConsensusConfig,
     n_unique: int,
+    group: int,
     seed: int = 0,
     drop_intersection: bool = True,
 ) -> jnp.ndarray:
@@ -403,95 +453,79 @@ def _patch_graph_weights_jit(
     neigh = cfg.neigh
     n_off = int(np.prod(neigh))
     blk_sp = tuple(int(p) for p in ps)
-    blk_len = int(np.prod(blk_sp))
 
-    # Per-UNIQUE-patch precompute (pairs share endpoints ~40x):
-    #   window consensus PK[i] = S[:, window(c_i)]  (n_off, ps^ndim)
-    #   hi mask and fg window per patch
+    # keep the padded consensus FLAT (n_off, *vol): a 6-D layout makes XLA
+    # tile the small neigh axes into (8,128) lanes (~10x HBM padding blowup)
     cons_sp_pad = jnp.pad(
         cons_sym.reshape((n_off,) + tuple(int(v) for v in vol_shape)),
-        [(0, 0)] + [(int(r), int(r)) for r in rad])
+        [(0, 0)] + [(int(r), int(r)) for r in rad]).astype(jnp.float32)
 
-    def per_patch(c):
+    # hi mask once per unique patch (pairs share endpoints ~40x)
+    def per_patch_hi(c):
         c = c.astype(jnp.int32)
-        pk = jax.lax.dynamic_slice(
-            cons_sp_pad, (0,) + tuple(c[k] for k in range(ndim)),
-            (n_off,) + blk_sp).reshape(n_off * blk_len)
         v = affs[(slice(None),) + tuple(c[k] for k in range(ndim))]
         win = jax.lax.dynamic_slice(fg_pad, tuple(c[k] for k in range(ndim)),
                                     blk_sp)
-        hi = (v > th) * win.reshape(-1)
-        return pk, hi
+        return (v > th) * win.reshape(-1)
 
-    PK, HIs = jax.lax.map(per_patch, centers.astype(jnp.int32),
-                          batch_size=8)
+    HIs = jax.lax.map(per_patch_hi, centers.astype(jnp.int32),
+                      batch_size=32)
 
-    # Diagonal-regather formulation:
-    #   acc = sum_{p1,p2} m[p1,p2] * S[dc + dp(p1,p2)][x1(p1)]
-    # dp(p1,p2) depends only on the patch-offset difference, so the
-    # consensus value for every (p1, p2) is a single GATHER from the
-    # per-patch window PK[i] at flat index
-    #   ravel(dp + ps-1 + dc) * blk_len + p1,
-    # with a validity mask for displacements outside the neighborhood.
-    # (The round-1 one-hot MXU contraction computed the same thing as a
-    # (P,P)x(P,P,n_off) bf16 matmul whose 0.5 GB ONE_HOT operand was
-    # re-streamed from HBM per pair batch - the gather is ~2000x fewer
-    # element touches.)
-    ps_np = np.asarray(cfg.ps)
-    base_d = dp + (ps_np - 1)[None, None, :]        # (P,P,ndim) in 0..2ps-2
-    d_strides = np.array([int(np.prod(neigh[i + 1:])) for i in range(ndim)])
-    base_d_j = jnp.asarray(base_d, jnp.int32)
-    d_strides_j = jnp.asarray(d_strides, jnp.int32)
-    neigh_j = jnp.asarray(np.asarray(neigh, np.int64), jnp.int32)
-    p1_pos = jnp.arange(P, dtype=jnp.int32)[:, None]          # (P, 1)
-
-    def one_pair(idx_pair):
-        i, j = idx_pair[0], idx_pair[1]
+    def one_segment(seg):
+        i, partners, valid = seg
         c1 = centers[i].astype(jnp.int32)
-        c2 = centers[j].astype(jnp.int32)
-        dc = c2 - c1
-        hi1, hi2 = HIs[i], HIs[j]
+        pb = jax.lax.dynamic_slice(
+            cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
+            (n_off,) + blk_sp).reshape(
+                tuple(int(v) for v in neigh) + blk_sp)
+        panel = _skew_panel(pb, ps, neigh)       # (P, E...)
+        hi1 = HIs[i]
 
-        dt = dc[None, None, :] + dp_j              # (P, P, ndim)
+        def one_pair(j, ok):
+            c2 = centers[j].astype(jnp.int32)
+            dc = c2 - c1
+            hi2 = HIs[j]
 
-        x1 = c1[None, None, :] + offs_j[:, None, :] - rad_j
-        x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
-        g1 = jnp.sum(x1 * strides_j, axis=-1)
-        g2 = jnp.sum(x2 * strides_j, axis=-1)
-        fwd = (g1 <= g2)[..., None]
-        lo_b = jnp.where(fwd, -(ps_j - 1)[None, None], -ps_j[None, None])
-        hi_b = jnp.where(fwd, ps_j[None, None], (ps_j - 1)[None, None])
-        in_cnt = jnp.all((dt >= lo_b) & (dt <= hi_b), axis=-1)
+            # pair value matrix: one contiguous slice of the skewed panel
+            start = (0,) + tuple(dc[k] + 2 * (int(ps[k]) - 1)
+                                 for k in range(ndim))
+            W = jax.lax.dynamic_slice(panel, start,
+                                      (P,) + blk_sp).reshape(P, P)
 
-        inter = (jnp.all(jnp.abs(x1 - c2[None, None, :]) <= rad_j, axis=-1)
-                 & jnp.all(jnp.abs(x2 - c1[None, None, :]) <= rad_j, axis=-1))
-        if drop_intersection:
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(seed),
-                jnp.sum(c1 * 7919 + c2 * 104729).astype(jnp.uint32))
-            u = jax.random.uniform(key, (P, P))
-            keep = jnp.where(inter, u <= 0.2, True)
-        else:
-            keep = jnp.ones((P, P), dtype=bool)
+            dt = dc[None, None, :] + dp_j          # (P, P, ndim)
+            x1 = c1[None, None, :] + offs_j[:, None, :] - rad_j
+            x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
+            g1 = jnp.sum(x1 * strides_j, axis=-1)
+            g2 = jnp.sum(x2 * strides_j, axis=-1)
+            fwd = (g1 <= g2)[..., None]
+            lo_b = jnp.where(fwd, -(ps_j - 1)[None, None], -ps_j[None, None])
+            hi_b = jnp.where(fwd, ps_j[None, None], (ps_j - 1)[None, None])
+            in_cnt = jnp.all((dt >= lo_b) & (dt <= hi_b), axis=-1)
 
-        m = hi1[:, None] * hi2[None, :] * keep
+            inter = (jnp.all(jnp.abs(x1 - c2[None, None, :]) <= rad_j,
+                             axis=-1)
+                     & jnp.all(jnp.abs(x2 - c1[None, None, :]) <= rad_j,
+                               axis=-1))
+            if drop_intersection:
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed),
+                    jnp.sum(c1 * 7919 + c2 * 104729).astype(jnp.uint32))
+                u = jax.random.uniform(key, (P, P))
+                keep = jnp.where(inter, (u <= 0.2).astype(jnp.float32), 1.0)
+            else:
+                keep = jnp.ones((P, P), dtype=jnp.float32)
 
-        # displaced offset index, masked outside the neighborhood
-        dto = base_d_j + dc[None, None, :]         # (P, P, ndim)
-        valid = jnp.all((dto >= 0) & (dto < neigh_j[None, None, :]),
-                        axis=-1)
-        k_dyn = jnp.sum(jnp.clip(dto, 0, neigh_j - 1)
-                        * d_strides_j[None, None, :], axis=-1)
-        flat_idx = k_dyn * blk_len + p1_pos        # (P, P)
-        W = jnp.take(PK[i], flat_idx.reshape(-1),
-                     mode="clip").reshape(P, P)
-        acc = jnp.sum(m * jnp.where(valid, W, 0.0))
-        fg_cnt = jnp.sum(m * in_cnt)
-        if cfg.norm_graph:
-            return acc / jnp.maximum(1.0, fg_cnt)
-        return acc
+            m = hi1[:, None] * hi2[None, :] * keep
+            acc = jnp.sum(m * W)
+            fg_cnt = jnp.sum(m * in_cnt)
+            w = acc / jnp.maximum(1.0, fg_cnt) if cfg.norm_graph else acc
+            return jnp.where(ok, w, 0.0)
 
-    return jax.lax.map(one_pair, id_pairs.astype(jnp.int32), batch_size=64)
+        return jax.vmap(one_pair)(partners, valid)
+
+    return jax.lax.map(one_segment, (seg_first.astype(jnp.int32),
+                                     seg_partner.astype(jnp.int32),
+                                     seg_valid))
 
 
 def patch_graph_weights(
@@ -501,14 +535,17 @@ def patch_graph_weights(
     cfg: ConsensusConfig,
     seed: int = 0,
     drop_intersection: bool = True,
+    group: int = 64,
 ) -> jnp.ndarray:
     """Affinity weight per candidate patch pair (computePatchGraph.cu).
 
-    ``cons_sym`` must be the symmetrized consensus.  Pairs are decomposed
-    into unique patch centers (each patch participates in ~dozens of pairs)
-    so the expensive consensus-window slice and hi-mask build happen once
-    per PATCH; each pair is then one gather from its patch's small window
-    plus a masked contraction.
+    ``cons_sym`` must be the symmetrized consensus.  TPU-regular
+    formulation: pairs are grouped by their first patch; per group the
+    patch's (neigh, ps^d) consensus window is sliced from HBM once and
+    SKEWED (pad+reshape shear, see ``_skew_panel``) so that every pair's
+    full (P, P) pixel-pair value matrix becomes one contiguous
+    dynamic-slice — no gathers, no giant one-hot operands; the remaining
+    per-pair work is elementwise on (P, P).
 
     Intersection pixels (within both patches' reach) are kept with
     probability 0.2 via a stateless per-(pair, p1, p2) PRNG (the CUDA
@@ -516,12 +553,56 @@ def patch_graph_weights(
     impossible in a parallel formulation, the keep-probability matches).
     """
     ndim = len(cfg.ps)
-    pairs = np.asarray(pairs)
+    ps = np.asarray(cfg.ps)
+    pairs = np.asarray(pairs).astype(np.int64)  # unsigned dc would wrap
+    n_pairs = len(pairs)
+    if n_pairs == 0:
+        return jnp.zeros((0,), jnp.float32)
     flat = np.concatenate([pairs[:, :ndim], pairs[:, ndim:]], axis=0)
     centers, inv = np.unique(flat, axis=0, return_inverse=True)
-    n_pairs = len(pairs)
     id_pairs = np.stack([inv[:n_pairs], inv[n_pairs:]], axis=1)
-    return _patch_graph_weights_jit(
+
+    # pairs with any |dc| > 2*(ps-1) have no pixel pair within consensus
+    # reach: weight is exactly 0 (and they'd overflow the panel pad)
+    dc = centers[id_pairs[:, 1]] - centers[id_pairs[:, 0]]
+    near = np.all(np.abs(dc) <= 2 * (ps - 1)[None, :], axis=1)
+    near_idx = np.nonzero(near)[0]
+
+    out = np.zeros(n_pairs, np.float32)
+    if len(near_idx) == 0:
+        return jnp.asarray(out)
+
+    # group near pairs by first endpoint into fixed-size segments
+    order = near_idx[np.argsort(id_pairs[near_idx, 0], kind="stable")]
+    firsts, seg_starts = np.unique(id_pairs[order, 0], return_index=True)
+    seg_first, seg_partner, seg_valid, seg_out = [], [], [], []
+    bounds = list(seg_starts) + [len(order)]
+    for fi, f in enumerate(firsts):
+        members = order[bounds[fi]:bounds[fi + 1]]
+        for s in range(0, len(members), group):
+            chunk = members[s:s + group]
+            pad = group - len(chunk)
+            seg_first.append(f)
+            seg_partner.append(np.pad(id_pairs[chunk, 1], (0, pad)))
+            seg_valid.append(np.pad(np.ones(len(chunk), bool), (0, pad)))
+            seg_out.append(np.pad(chunk, (0, pad)))
+    # pad segment count to a multiple of 8 to bound recompiles
+    n_seg = len(seg_first)
+    n_seg_pad = -(-n_seg // 8) * 8
+    for _ in range(n_seg_pad - n_seg):
+        seg_first.append(0)
+        seg_partner.append(np.zeros(group, np.int64))
+        seg_valid.append(np.zeros(group, bool))
+        seg_out.append(np.zeros(group, np.int64))
+
+    w = _patch_graph_weights_jit(
         affs, cons_sym, jnp.asarray(centers, jnp.int32),
-        jnp.asarray(id_pairs, jnp.int32), cfg, n_unique=len(centers),
+        jnp.asarray(np.asarray(seg_first), jnp.int32),
+        jnp.asarray(np.stack(seg_partner), jnp.int32),
+        jnp.asarray(np.stack(seg_valid)),
+        cfg, n_unique=len(centers), group=group,
         seed=seed, drop_intersection=drop_intersection)
+    w = np.asarray(w)
+    mask = np.stack(seg_valid)
+    out[np.stack(seg_out)[mask]] = w[mask]
+    return jnp.asarray(out)

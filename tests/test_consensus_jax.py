@@ -152,6 +152,25 @@ def test_patch_graph_parity_random_affs():
     np.testing.assert_allclose(np.asarray(w_j), w_np, atol=1e-4, rtol=1e-4)
 
 
+def test_patch_graph_parity_random_affs_3d():
+    """True-3D parity: exercises the z-axis skew + negative center deltas
+    (the 2D tests have ps_z == 1 and uint centers hid a dc-wraparound bug)."""
+    ps = np.array([3, 3, 3])
+    affs = _random_affs((12, 12, 12), 27, seed=3)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3))
+    cons_np, _ = ref.consensus_reference(affs, ps, th=0.5)
+    centers = [(np.array([z, y, x]), 1.0)
+               for z in (4, 7) for y in (4, 7) for x in (4, 7)]
+    pairs, _ = ref.patch_pairs_reference(centers, ps, include_singleton=True)
+    assert pairs.dtype == np.uint32  # the wraparound regression trigger
+    w_np = ref.patch_graph_reference(affs, cons_np, pairs, ps, th=0.5,
+                                     intersection_lcg=False)
+    cons_j = consensus_array(affs, cfg)
+    sym = symmetrize_consensus(cons_j, cfg)
+    w_j = patch_graph_weights(affs, sym, pairs, cfg, drop_intersection=False)
+    np.testing.assert_allclose(np.asarray(w_j), w_np, atol=1e-4, rtol=1e-4)
+
+
 def test_jax_pipeline_end_to_end_labels():
     """Full pipeline with JAX kernels on ideal affinities -> exact labels."""
     ps = np.array([1, 5, 5])
