@@ -113,49 +113,55 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
         def dy_body(dyi, _):
             dy = dyi - (psy - 1)
             y0 = my + dy                   # dynamic, always >= my-psy+1 >= 0
+            # band limit: only qy with qy and qy+dy inside the patch
+            # contribute (the masked full loop wasted ~71% of iterations)
+            qy_lo = jnp.maximum(0, -dy)
+            qy_hi = jnp.minimum(psy, psy - dy)
 
             for k in range(n_dx):          # static unroll
                 dx = k - (psx - 1)
                 x0 = mx + dx               # static
+                qx_lo = max(0, -dx)        # static band per dx
+                qx_hi = min(psx, psx - dx)
 
-                def q_body(qyx, accs):
+                def qy_body(qy, accs):
                     acc_c, acc_n = accs
-                    qy = qyx // psx
-                    qx = qyx % psx
                     q2y = qy + dy
-                    q2x = qx + dx
-                    self_pair = (qz2 == qz) & (dy == 0) & (dx == 0)
-                    ok = ((q2y >= 0) & (q2y < psy)
-                          & (q2x >= 0) & (q2x < psx)
-                          & jnp.logical_not(self_pair))
-                    q2yc = jnp.clip(q2y, 0, psy - 1)
-                    q2xc = jnp.clip(q2x, 0, psx - 1)
-
-                    al = a_l[0, qy, qx, 0]
-                    bl = b_l[0, qy, qx, 0]
-                    hl = hi_l[0, qy, qx, 0]
-                    ll = lo_l[0, qy, qx, 0]
-                    rsl = (0, q2yc, q2xc, 0, pl.ds(y0, Y),
-                           slice(x0, x0 + X))
-                    ar = a_r[rsl]
-                    br = b_r[rsl]
-                    hr = hi_r[rsl]
-                    lr = lo_r[rsl]
-                    g = ok.astype(jnp.float32)
-                    pp = al * (ar - br) - bl * ar
-                    sc = hl * (hr - lr) - ll * hr
-                    if weight_mode == "norm_prob_product":
-                        contrib = (pp - th * th * sc) / (1.0 - th * th)
-                    elif weight_mode == "prob_product":
-                        contrib = pp
-                    else:
-                        contrib = sc
-                    cnt = hl * (hr + lr) + ll * hr
-                    return acc_c + g * contrib, acc_n + g * cnt
+                    for qx in range(qx_lo, qx_hi):   # static unroll
+                        q2x = qx + dx
+                        al = a_l[0, qy, qx, 0]
+                        bl = b_l[0, qy, qx, 0]
+                        hl = hi_l[0, qy, qx, 0]
+                        ll = lo_l[0, qy, qx, 0]
+                        rsl = (0, q2y, q2x, 0, pl.ds(y0, Y),
+                               slice(x0, x0 + X))
+                        ar = a_r[rsl]
+                        br = b_r[rsl]
+                        hr = hi_r[rsl]
+                        lr = lo_r[rsl]
+                        pp = al * (ar - br) - bl * ar
+                        sc = hl * (hr - lr) - ll * hr
+                        if weight_mode == "norm_prob_product":
+                            contrib = (pp - th * th * sc) / (1.0 - th * th)
+                        elif weight_mode == "prob_product":
+                            contrib = pp
+                        else:
+                            contrib = sc
+                        cnt = hl * (hr + lr) + ll * hr
+                        acc_c = acc_c + contrib
+                        acc_n = acc_n + cnt
+                    return acc_c, acc_n
 
                 acc0 = jnp.zeros((Y, X), jnp.float32)
-                acc_c, acc_n = jax.lax.fori_loop(0, psy * psx, q_body,
+                acc_c, acc_n = jax.lax.fori_loop(qy_lo, qy_hi, qy_body,
                                                  (acc0, acc0))
+                if dx == 0:
+                    # q2 == q exactly when also qz2 == qz and dy == 0:
+                    # self-pairs are excluded (whole cell masks out)
+                    spm = jnp.logical_not(
+                        (qz2 == qz) & (dy == 0)).astype(jnp.float32)
+                    acc_c = acc_c * spm
+                    acc_n = acc_n * spm
                 cons_s[dyi, k] += acc_c
                 cnt_s[dyi, k] += acc_n
             return ()
@@ -176,11 +182,13 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
             cnt_ref[0, :, :, 0] = cnt_s[...]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_counts"))
+@functools.partial(jax.jit, static_argnames=("cfg", "with_counts",
+                                              "interpret"))
 def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
                            overlap: jnp.ndarray | None = None,
                            with_counts: bool = False,
-                           center_valid: jnp.ndarray | None = None):
+                           center_valid: jnp.ndarray | None = None,
+                           interpret: bool = False):
     """Consensus via the Pallas kernel (3D patchshapes).
 
     Returns the SYMMETRIZED consensus (both pair orientations populated,
@@ -263,6 +271,7 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
             pltpu.VMEM((neigh[1], n_dx, Y, X), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(*L, *R)
 
     if with_counts:

@@ -1,0 +1,56 @@
+"""Pallas consensus kernel logic vs XLA scan, in interpret mode (no TPU).
+
+The tpu-marked tests in test_pallas_consensus.py exercise the real Mosaic
+compile; this file runs the same parity checks through the Pallas
+interpreter so the kernel's loop/band/self-pair logic is covered in the
+default CPU tier.
+"""
+
+import numpy as np
+import pytest
+
+from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
+                                               consensus_array,
+                                               symmetrize_consensus)
+from patchperpix_tpu.ops.pallas_consensus import consensus_array_pallas
+
+
+def _random_affs(shape, P, seed=0):
+    rng = np.random.RandomState(seed)
+    affs = rng.rand(P, *shape).astype(np.float32)
+    return np.where(affs > 0.5, 0.6 + 0.4 * affs, 0.4 * affs).astype(
+        np.float32)
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"weight_mode": "count", "norm_aff": False},
+    {"weight_mode": "prob_product"},
+])
+def test_pallas_interpret_equals_symmetrized_xla(kwargs):
+    affs = _random_affs((8, 9, 10), 27, seed=1)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), **kwargs)
+    sym = np.asarray(symmetrize_consensus(consensus_array(affs, cfg), cfg))
+    out = np.asarray(consensus_array_pallas(affs, cfg, interpret=True))
+    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_interpret_overlap_variant():
+    affs = _random_affs((8, 9, 10), 27, seed=2)
+    ov = np.zeros((8, 9, 10), bool)
+    ov[3:5, 3:6, 2:5] = True
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
+    sym = np.asarray(symmetrize_consensus(
+        consensus_array(affs, cfg, overlap=ov), cfg))
+    out = np.asarray(consensus_array_pallas(affs, cfg, overlap=ov,
+                                            interpret=True))
+    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_interpret_anisotropic_patch():
+    """ps_y != ps_x exercises asymmetric band bounds."""
+    affs = _random_affs((7, 11, 9), 15, seed=3)
+    cfg = ConsensusConfig(patchshape=(1, 5, 3))
+    sym = np.asarray(symmetrize_consensus(consensus_array(affs, cfg), cfg))
+    out = np.asarray(consensus_array_pallas(affs, cfg, interpret=True))
+    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
