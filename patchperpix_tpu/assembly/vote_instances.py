@@ -50,6 +50,29 @@ def _stage_trace(name: str):
         return contextlib.nullcontext()
 
 
+def _sharded_mesh_size(params, vol_shape, ccfg) -> int:
+    """Usable mesh size for z-sharded consensus+rank, or 1 (single device).
+
+    Constraints from parallel/sharded.py: Z divisible by the mesh size and
+    each local slab at least 3*rad z-slices (the halo width).
+    """
+    want = int(getattr(params, "sharded_devices", 0) or 0)
+    if want in (0, 1):
+        return 1
+    import jax
+
+    avail = jax.device_count()
+    want = avail if want < 0 else min(want, avail)
+    if want <= 1 or len(vol_shape) != 3:
+        return 1
+    Z = int(vol_shape[0])
+    halo = 3 * int(ccfg.rad[0])
+    for n in range(want, 1, -1):
+        if Z % n == 0 and Z // n >= max(halo, 1):
+            return n
+    return 1
+
+
 @dataclass
 class VoteInstancesParams:
     """Typed view of the [vote_instances] TOML section (default.toml:114-169)."""
@@ -94,6 +117,10 @@ class VoteInstancesParams:
     only_bb: bool = True
     num_parallel_blocks: int = 1
     num_parallel_samples: int = 1
+    sharded_devices: int = 0   # >1 (or -1 = all): z-shard consensus+rank
+                               # over a device mesh with ICI halo exchange
+                               # (parallel/sharded.py); bit-identical to
+                               # the whole-volume result
     crop_to_foreground: bool = True
     aff_key: str = "volumes/pred_affs"
     fg_key: str | None = None
@@ -269,6 +296,7 @@ def to_instance_seg(
     # Upload the affinity stack ONCE; all device stages share it (repeated
     # numpy->jit calls re-transfer it every time).
     overlap_arg = (overlap_mask > 0) if params.overlapping_inst else None
+    sharded_scores = None
     if use_jax:
         import jax
 
@@ -276,8 +304,21 @@ def to_instance_seg(
                          else jax.device_put(pred_affs))
         if overlap_arg is not None:
             overlap_arg = jax.device_put(overlap_arg)
+        n_sh = _sharded_mesh_size(params, vol_shape, ccfg)
         with _stage_trace("consensus"):
-            if use_pallas:
+            if n_sh > 1:
+                # multi-device: z-shard consensus + rank over the mesh
+                # with ICI halo exchange (whole-volume-exact); the
+                # XLA-scan consensus runs per shard (the pallas kernel
+                # is single-core)
+                from ..parallel import (make_spatial_mesh,
+                                        sharded_consensus_and_rank)
+
+                use_pallas = False
+                mesh = make_spatial_mesh(n_sh)
+                cons, sharded_scores = sharded_consensus_and_rank(
+                    pred_affs_dev, ccfg, mesh, overlap=overlap_arg)
+            elif use_pallas:
                 # the pallas kernel emits the SYMMETRIZED consensus
                 # directly (canonical half identical; no separate
                 # symmetrize pass)
@@ -307,6 +348,9 @@ def to_instance_seg(
     elif params.skipRanking and (params.selected_patches is not None
                                  or params.selected_patch_pairs is not None):
         scores = np.zeros(vol_shape, dtype=np.float32)
+    elif sharded_scores is not None:
+        with _stage_trace("rank"):
+            scores = np.asarray(sharded_scores)
     elif use_jax:
         with _stage_trace("rank"):
             scores = np.asarray(rank_scores(pred_affs_dev, cons, ccfg,

@@ -64,3 +64,47 @@ def test_sharded_with_overlap_mask():
         jnp.asarray(affs), cfg, mesh, overlap=jnp.asarray(overlap))
     np.testing.assert_allclose(np.asarray(cons_sh), cons_ref,
                                atol=1e-5, rtol=1e-5)
+
+
+def test_to_instance_seg_sharded_param_matches_single_device():
+    """The wired params.sharded_devices path through the full pipeline."""
+    from patchperpix_tpu.assembly import VoteInstancesParams, to_instance_seg
+    from patchperpix_tpu.ops import synthetic
+
+    if len(jax.local_devices(backend="cpu")) < 4:
+        pytest.skip("needs 4 cpu devices")
+
+    labels = synthetic.two_blob_labels_3d()
+    ps = np.array([3, 3, 3])
+    affs = synthetic.labels_to_affinities(labels, ps)
+    fg = affs[int(np.prod(ps)) // 2] > 0.5
+    numinst = fg.astype(np.uint8)
+
+    base = dict(patchshape=(3, 3, 3), engine="jax", patch_threshold=0.5,
+                fc_threshold=0.5, mws=False)
+    inst0, _ = to_instance_seg(affs, fg, fg.copy(), numinst,
+                               VoteInstancesParams(**base))
+    inst_sh, _ = to_instance_seg(affs, fg, fg.copy(), numinst,
+                                 VoteInstancesParams(sharded_devices=4,
+                                                     **base))
+    inst0 = np.asarray(inst0)
+    inst_sh = np.asarray(inst_sh)
+    # identical up to label permutation
+    assert ((inst0 > 0) == (inst_sh > 0)).all()
+    for i in np.unique(inst0[inst0 > 0]):
+        vals = np.unique(inst_sh[inst0 == i])
+        assert len(vals) == 1
+
+
+def test_sharded_mesh_size_constraints():
+    from patchperpix_tpu.assembly.vote_instances import (
+        VoteInstancesParams, _sharded_mesh_size)
+
+    ccfg = ConsensusConfig(patchshape=(3, 3, 3))
+    p = VoteInstancesParams(sharded_devices=8)
+    # Z=24: 8 shards of 3 == halo 3 -> ok
+    assert _sharded_mesh_size(p, (24, 7, 8), ccfg) in (1, 2, 4, 8)
+    # Z=10 cannot split into >=3-slice equal shards of 8; falls back
+    assert _sharded_mesh_size(p, (10, 7, 8), ccfg) <= 2
+    # off
+    assert _sharded_mesh_size(VoteInstancesParams(), (24, 7, 8), ccfg) == 1
