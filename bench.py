@@ -175,8 +175,14 @@ def main():
 
     if os.path.exists(BASELINE_FILE):
         b = json.load(open(BASELINE_FILE))
+        # assembly denominator: the ACTUAL reference CPU vote_instances
+        # (benchmarks/reference_cpu.py, measured once on this host) when
+        # available; else this repo's numpy golden (parity-tested, faster
+        # than the reference, i.e. a CONSERVATIVE stand-in)
+        t_asm = b.get("t_assemble_reference_full_s",
+                      b["t_assemble_numpy_full_s"])
         t_base = (b["t_predict_torch_cpu_s"] + b["t_decode_torch_cpu_s"]
-                  + b["t_assemble_numpy_full_s"])
+                  + t_asm)
     else:  # fallback: scaled mini numpy assembly only (round-1 method)
         sub = 24
         affs_s, fg_s, ni_s = build_inputs(size=sub)

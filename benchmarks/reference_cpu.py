@@ -149,6 +149,13 @@ def main():
         json.dump(out, f, indent=1)
     np.save(os.path.join(REPO, f"benchmarks/reference_inst_{size}.npy"),
             inst)
+    if size >= 50:
+        # full volume: record as the bench assembly denominator
+        bl_path = os.path.join(REPO, "bench_baseline.json")
+        if os.path.exists(bl_path):
+            bl = json.load(open(bl_path))
+            bl["t_assemble_reference_full_s"] = wall
+            json.dump(bl, open(bl_path, "w"), indent=1)
 
 
 if __name__ == "__main__":
