@@ -78,6 +78,97 @@ def _greedy_cover_volume(affs, centers, overlap_rows, mask, interior,
 
 
 @functools.partial(jax.jit, static_argnames=("ps", "fc_threshold"))
+def _thin_cover_volume_lazy(affs, centers, mask, interior,
+                            ps: tuple, fc_threshold: float):
+    """Exact lazy-greedy set cover.
+
+    Candidate gains only DECREASE as the running mask shrinks, so a stale
+    upper bound can stand in for the true size until the argmax lands on
+    it (classic lazy evaluation; provably picks the same first-maximal
+    candidate as the full recompute, including ties, because recomputing
+    only ever lowers values).  A pick invalidates just the candidates
+    whose windows overlap the picked window (|dc| < ps per axis); the
+    full recompute scanned all n windows per pick.
+
+    Returns (selected, picks, capped): ``capped`` True if the iteration
+    safety cap was hit (caller must fall back to the exact full loop).
+    """
+    ndim = len(ps)
+    rad = tuple(p // 2 for p in ps)
+    n = centers.shape[0]
+
+    running0 = _pad_vol(mask, rad)
+    interior_pad = _pad_vol(interior, rad)
+
+    pmasks = (affs[(slice(None),) + tuple(
+        centers[:, k] for k in range(ndim))].T
+        > fc_threshold).astype(jnp.float32)           # (n, P)
+
+    def count_one(i, running):
+        start = tuple(centers[i][k] for k in range(ndim))
+        win = jax.lax.dynamic_slice(running, start, ps)
+        return jnp.sum(pmasks[i].reshape(ps) * win)
+
+    sizes0 = jax.vmap(lambda i: count_one(i, running0))(jnp.arange(n))
+    rem0 = jnp.sum(running0 * interior_pad)
+    max_it = 64 * n + 1024
+    ps_j = jnp.asarray(ps, jnp.int32)
+
+    def cond(st):
+        running, selected, sizes, stale, picks, done, rem, it = st
+        return (~done) & (picks < n) & (rem > 0) & (it < max_it)
+
+    def body(st):
+        running, selected, sizes, stale, picks, done, rem, it = st
+        best = jnp.argmax(sizes)
+
+        def refresh(st):
+            running, selected, sizes, stale, picks, done, rem, it = st
+            sizes = sizes.at[best].set(count_one(best, running))
+            stale = stale.at[best].set(False)
+            return running, selected, sizes, stale, picks, done, rem, it
+
+        def pick(st):
+            running, selected, sizes, stale, picks, done, rem, it = st
+            best_size = sizes[best]
+
+            def do(args):
+                running, selected, sizes, stale, rem = args
+                start = tuple(centers[best][k] for k in range(ndim))
+                win = jax.lax.dynamic_slice(running, start, ps)
+                newly = pmasks[best].reshape(ps) * win
+                iwin = jax.lax.dynamic_slice(interior_pad, start, ps)
+                rem = rem - jnp.sum(newly * iwin)
+                running = jax.lax.dynamic_update_slice(
+                    running, win - newly, start)
+                near = jnp.all(
+                    jnp.abs(centers - centers[best][None, :]) < ps_j,
+                    axis=1)
+                stale = (stale | near).at[best].set(False)
+                sizes = sizes.at[best].set(0.0)
+                return (running, selected.at[best].set(True), sizes,
+                        stale, rem)
+
+            running, selected, sizes, stale, rem = jax.lax.cond(
+                best_size > 0, do, lambda a: a,
+                (running, selected, sizes, stale, rem))
+            return (running, selected, sizes, stale,
+                    picks + 1, best_size <= 0, rem, it)
+
+        st = jax.lax.cond(stale[best], refresh, pick,
+                          (running, selected, sizes, stale, picks, done,
+                           rem, it + 1))
+        return st
+
+    st = jax.lax.while_loop(
+        cond, body,
+        (running0, jnp.zeros((n,), bool), sizes0,
+         jnp.zeros((n,), bool), jnp.int32(0), jnp.bool_(False),
+         rem0, jnp.int32(0)))
+    return st[1], st[4], st[7] >= max_it
+
+
+@functools.partial(jax.jit, static_argnames=("ps", "fc_threshold"))
 def _thin_cover_volume(affs, centers, mask, interior,
                        ps: tuple, fc_threshold: float):
     """Greedy set cover: repeatedly take the patch covering the most
@@ -179,10 +270,16 @@ def thin_out_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
     interior[tuple(slice(int(r), int(s - r))
                    for r, s in zip(rad, vol_shape))] = 1.0
 
-    selected, _ = _thin_cover_volume(
+    selected, _, capped = _thin_cover_volume_lazy(
         jnp.asarray(affs), jnp.asarray(centers),
         jnp.asarray(mask_to_cover, jnp.float32),
         jnp.asarray(interior),
         tuple(int(p) for p in ps), float(fc_threshold))
+    if bool(capped):  # safety: exact-but-slow full-recompute loop
+        selected, _ = _thin_cover_volume(
+            jnp.asarray(affs), jnp.asarray(centers),
+            jnp.asarray(mask_to_cover, jnp.float32),
+            jnp.asarray(interior),
+            tuple(int(p) for p in ps), float(fc_threshold))
     selected = np.asarray(selected)
     return [rp for i, rp in enumerate(selected_patches) if selected[i]]

@@ -450,22 +450,23 @@ def patch_pairs_reference(
     if len(pts) == 0:
         return None, pts
     tree = cKDTree(pts, leafsize=4)
-    pairs = tree.query_pairs(2 * float(np.sum(ps)), p=1)
-    pairs = sorted(pairs)
-    keep = [p for p in pairs
-            if not np.any(np.abs(pts[p[0]].astype(np.float32)
-                                 - pts[p[1]].astype(np.float32))
-                          > max_ps_dist * ps)]
-    n = len(keep) + (len(pts) if include_singleton else 0)
+    pairs = tree.query_pairs(2 * float(np.sum(ps)), output_type="ndarray",
+                             p=1)
+    # sort lexicographically (matches sorted(set-of-tuples))
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    pairs = pairs[order]
+    d = np.abs(pts[pairs[:, 0]].astype(np.float32)
+               - pts[pairs[:, 1]].astype(np.float32))
+    kept = pairs[~(d > max_ps_dist * ps).any(axis=1)]
+    n = len(kept) + (len(pts) if include_singleton else 0)
     if n == 0:
         return None, pts
     arr = np.zeros((n, 2 * ndim), dtype=np.uint32)
-    for i, (a, b) in enumerate(keep):
-        arr[i, :ndim] = pts[a]
-        arr[i, ndim:] = pts[b]
+    arr[:len(kept), :ndim] = pts[kept[:, 0]]
+    arr[:len(kept), ndim:] = pts[kept[:, 1]]
     if include_singleton:
-        arr[len(keep):, :ndim] = pts
-        arr[len(keep):, ndim:] = pts
+        arr[len(kept):, :ndim] = pts
+        arr[len(kept):, ndim:] = pts
     return arr, pts
 
 

@@ -108,7 +108,7 @@ def oracle_assembly(sample):
     return scores
 
 
-def trained_e2e(sample, iters: int, out_dir: str):
+def trained_e2e(sample, iters: int, out_dir: str, big: bool = False):
     """Overfit-train on the crop, then predict -> assemble -> evaluate."""
     import shutil
 
@@ -125,12 +125,21 @@ def trained_e2e(sample, iters: int, out_dir: str):
                                        TrainConfig, train_until)
 
     ps = (7, 7, 7)
-    mcfg = PPPConfig(
-        patchshape=ps, num_channels=3, num_fmaps=16,
-        fmap_inc_factors=(3, 3), fmap_dec_factors=(1.0, 1.0),
-        downsample_factors=((2, 2, 2), (2, 2, 2)),
-        overlapping_inst=True, max_num_inst=2,
-        train_code=False, padding="same")
+    if big:
+        # closer to the flylight flagship (default.toml: 20 fmaps, inc x3)
+        mcfg = PPPConfig(
+            patchshape=ps, num_channels=3, num_fmaps=20,
+            fmap_inc_factors=(3, 3), fmap_dec_factors=(1.0, 1.0),
+            downsample_factors=((2, 2, 2), (2, 2, 2)),
+            overlapping_inst=True, max_num_inst=2,
+            train_code=False, padding="same")
+    else:
+        mcfg = PPPConfig(
+            patchshape=ps, num_channels=3, num_fmaps=16,
+            fmap_inc_factors=(3, 3), fmap_dec_factors=(1.0, 1.0),
+            downsample_factors=((2, 2, 2), (2, 2, 2)),
+            overlapping_inst=True, max_num_inst=2,
+            train_code=False, padding="same")
     model = PPPModel(mcfg)
 
     scfg = SamplerConfig(
@@ -182,26 +191,35 @@ def trained_e2e(sample, iters: int, out_dir: str):
 def main():
     from patchperpix_tpu.train import load_sample
 
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    iters = int(args[0]) if args else 3000
+    big = "--big" in sys.argv
+    skip_oracle = "--skip-oracle" in sys.argv
     os.makedirs(OUT_DIR, exist_ok=True)
     sample = load_sample(FIXTURE, "volumes/raw", "volumes/gt_instances",
                          clipmax=1500)
 
+    res_path = os.path.join(OUT_DIR, "results.json")
     results = {"fixture": FIXTURE,
                "note": ("single-crop sanity anchor; BBBC010/dsb2018/ISBI "
                         "raw data are not available in this environment")}
-    print("== oracle assembly ==", flush=True)
-    results["oracle_assembly"] = oracle_assembly(sample)
-    print(json.dumps(results["oracle_assembly"], indent=1), flush=True)
+    if skip_oracle and os.path.exists(res_path):
+        results = json.load(open(res_path))
+    else:
+        print("== oracle assembly ==", flush=True)
+        results["oracle_assembly"] = oracle_assembly(sample)
+        print(json.dumps(results["oracle_assembly"], indent=1), flush=True)
 
-    print(f"== trained e2e ({iters} iters) ==", flush=True)
+    print(f"== trained e2e ({iters} iters, big={big}) ==", flush=True)
     results["trained_e2e"] = trained_e2e(sample, iters,
-                                         os.path.join(OUT_DIR, "train"))
+                                         os.path.join(OUT_DIR, "train"),
+                                         big=big)
+    results["trained_e2e"]["model"] = "fmaps20" if big else "fmaps16"
     print(json.dumps(results["trained_e2e"], indent=1), flush=True)
 
-    with open(os.path.join(OUT_DIR, "results.json"), "w") as f:
+    with open(res_path, "w") as f:
         json.dump(results, f, indent=1, default=float)
-    print("written", os.path.join(OUT_DIR, "results.json"))
+    print("written", res_path)
 
 
 if __name__ == "__main__":
