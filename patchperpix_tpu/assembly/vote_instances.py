@@ -642,6 +642,17 @@ def _do_all_inner(aff_file: str, params: VoteInstancesParams,
                                  aff_graph=np.load(ag_path))
         instances, fg_out = to_instance_seg(affs, foreground, mask,
                                             numinst, params)
+    base = os.path.splitext(os.path.basename(aff_file))[0]
+    return finalize_and_write(instances, fg_out, params, base,
+                              result_folder)
+
+
+def finalize_and_write(instances, fg_out, params: VoteInstancesParams,
+                       base: str, result_folder: str) -> str:
+    """Small-component removal, fg crop, and hdf output
+    (vote_instances.py:521-554); shared by do_all and the fused CLI path."""
+    instances = np.asarray(instances)
+    fg_out = np.asarray(fg_out)
     if params.remove_small_comps > 0:
         instances = remove_small_components(instances,
                                             params.remove_small_comps)
@@ -651,7 +662,6 @@ def _do_all_inner(aff_file: str, params: VoteInstancesParams,
         else:
             instances[fg_out == 0] = 0
 
-    base = os.path.splitext(os.path.basename(aff_file))[0]
     out_path = os.path.join(result_folder, base + ".hdf")
     out = vio.IoHDF5(out_path, mode="w")
     out.write(instances, key=params.res_key,

@@ -28,7 +28,7 @@ from datetime import datetime
 import numpy as np
 
 from . import config as cfglib
-from .assembly import VoteInstancesParams, do_all
+from .assembly import VoteInstancesParams, do_all, to_instance_seg
 from .models import PPPConfig, PPPModel
 from .utils import io as vio
 
@@ -56,6 +56,7 @@ def get_arguments(argv=None):
     p.add_argument("-d", "--do", nargs="+", default=[],
                    choices=["all", "mknet", "train", "validate_checkpoints",
                             "validate", "predict", "decode", "label",
+                            "infer_fused",
                             "postprocess", "evaluate", "evaluate_prediction",
                             "cross_validate", "visualize", "cleanup"])
     p.add_argument("--root", default="experiments_out")
@@ -462,6 +463,98 @@ def label(args, config, paths, mode=None, checkpoint=None,
 
 
 @time_func
+def infer_fused(args, config, paths, mode=None, checkpoint=None,
+                param_overrides=None):
+    """predict -> decode -> assemble fully device-resident per sample.
+
+    The fast path: tile predictions accumulate on device, codes decode +
+    scatter on device, and assembly consumes the device affinity stack -
+    no float16 zarr roundtrip between stages (the reference writes/reads
+    one per stage, predict_no_gp.py:230-233 / decode.py:43).  Output is
+    the same instance hdf the label task writes, so evaluate/postprocess
+    work unchanged.  Use predict/decode/label instead when per-stage
+    artifacts or restart-resume matter.
+    """
+    from .infer.fused import decode_volume_device, predict_volume_device
+    from .train.data import load_sample
+
+    mode = mode or args.mode
+    checkpoint = checkpoint or _resolve_checkpoint(args, config, paths)
+    data = config.get("data", {})
+    data_dir = _data_dir_for_mode(args, config, mode)
+    out_dir = os.path.join(paths[f"{mode}_instanced"], str(checkpoint))
+    os.makedirs(out_dir, exist_ok=True)
+
+    model, mcfg = _build_model(config)
+    if not os.path.exists(os.path.join(paths["base"],
+                                       "test_net_config.json")):
+        mknet(args, config, paths)
+    nc = _net_config(paths, "test_net")
+    params = _load_params(model, mcfg, paths, checkpoint, config,
+                          use_swa=config.get("prediction", {}).get(
+                              "use_swa", False))
+
+    vi_cfg = dict(config.get("vote_instances", {}))
+    vi_cfg["patchshape"] = config["model"]["patchshape"]
+    vi_cfg["overlapping_inst"] = config["model"].get("overlapping_inst",
+                                                     False)
+    if param_overrides:
+        vi_cfg.update(param_overrides)
+    vparams = VoteInstancesParams.from_config(vi_cfg,
+                                              result_folder=out_dir)
+
+    from .assembly.vote_instances import finalize_and_write
+
+    samples = list_samples(data_dir, data.get("input_format", "zarr"))
+    if args.sample:
+        samples = [s for s in samples if s == args.sample]
+    if getattr(args, "predict_single", False):
+        samples = samples[:1]
+    from .parallel.multihost import shard_samples
+
+    samples = shard_samples(samples)
+    done = []
+    fg_thresh = config.get("prediction", {}).get("fg_thresh", 0.5)
+    for s in samples:
+        out_path = os.path.join(out_dir, s + ".hdf")
+        if vio.check_file(out_path, keys=[vparams.res_key],
+                          remove_on_error=True):
+            logger.info("skipping %s (labelled)", s)
+            continue
+        sd = load_sample(
+            os.path.join(data_dir, s + "." + data.get("input_format",
+                                                      "zarr")),
+            data.get("raw_key", "volumes/raw"),
+            data.get("gt_key", "volumes/gt_instances"),
+            clipmax=config.get("preprocessing", {}).get("clipmax"))
+        h1, h2 = predict_volume_device(
+            model, params, sd.raw, mcfg,
+            nc["input_shape"], nc["output_shape"])
+        prob = np.asarray(h2, np.float32)
+        if mcfg.overlapping_inst:
+            numinst = np.zeros(prob.shape[1:], np.uint8)
+            for i, t in enumerate(vparams.numinst_threshs):
+                numinst[prob[i + 1] > t] = i + 1
+            fg = numinst > 0
+        else:
+            fg = prob[0] >= fg_thresh
+            numinst = fg.astype(np.uint8)
+        if mcfg.train_code:
+            affs = decode_volume_device(model, params, h1, fg, mcfg)
+        else:
+            affs = h1
+        if affs.ndim == 3:  # 2D data -> (P, 1, H, W), as load_affinities
+            affs = affs[:, None]
+            fg = fg[None]
+            numinst = numinst[None]
+        inst, fg_out = to_instance_seg(affs, fg, fg.copy(), numinst,
+                                       vparams)
+        finalize_and_write(inst, fg_out, vparams, s, out_dir)
+        done.append(s)
+    return done
+
+
+@time_func
 def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
     """Instance metrics per sample + CSV summary (run_ppp.py:1446-1536)."""
     from .evaluate import evaluate_file, summarize_metric_dict
@@ -829,7 +922,8 @@ def main(argv=None):
                  "decode", "label", "evaluate"]
     dispatch = {
         "mknet": mknet, "train": train, "predict": predict,
-        "decode": decode, "label": label, "evaluate": evaluate,
+        "decode": decode, "label": label, "infer_fused": infer_fused,
+        "evaluate": evaluate,
         "validate_checkpoints": validate_checkpoints,
         "validate": validate_checkpoints,
         "evaluate_prediction": evaluate_prediction,

@@ -159,6 +159,40 @@ def test_predict_label_evaluate(trained, config_file, exp_root):
     assert res["general"]["Num Pred"] >= 1
 
 
+def test_infer_fused_matches_staged(trained, config_file, exp_root):
+    """The device-resident fast path writes the same instance hdf layout
+    as predict+decode+label and finds the same instances."""
+    paths = cli.main(["--config", config_file, "--root", exp_root,
+                      "-id", "testrun",
+                      "-d", "infer_fused", "--mode", "val"])
+    inst = os.path.join(paths["val_instanced"], "120")
+    hdfs = sorted(p for p in os.listdir(inst) if p.endswith(".hdf"))
+    assert len(hdfs) == 2
+    io = vio.IoHDF5(os.path.join(inst, hdfs[0]), mode="r")
+    out = io.read(key="vote_instances")
+    io.close()
+    assert out.max() >= 1  # found at least one instance
+
+    # staged pipeline on the same split for comparison (separate exp dir
+    # so the instanced outputs don't collide with the fused ones)
+    import shutil
+
+    staged_base = os.path.join(exp_root, "stagedrun")
+    shutil.rmtree(staged_base, ignore_errors=True)
+    shutil.copytree(os.path.join(exp_root, "testrun", "train"),
+                    os.path.join(staged_base, "train"))
+    staged = cli.main(["--config", config_file, "--root", exp_root,
+                       "-id", "stagedrun",
+                       "-d", "predict", "label", "--mode", "val"])
+    sinst = os.path.join(staged["val_instanced"], "120")
+    io = vio.IoHDF5(os.path.join(sinst, hdfs[0]), mode="r")
+    ref_out = io.read(key="vote_instances")
+    io.close()
+    n_fused = len(np.unique(out[out > 0]))
+    n_staged = len(np.unique(ref_out[ref_out > 0]))
+    assert n_fused == n_staged
+
+
 def test_predict_skips_existing(trained, config_file, exp_root):
     # second predict run must skip all existing outputs (cli.setup_logging
     # replaces handlers, so assert on the run.log file)
