@@ -27,7 +27,7 @@ def _worm_labels(h=80, w=80):
     return labels
 
 
-@pytest.mark.parametrize("mws", [False, True])
+@pytest.mark.parametrize("mws", [True])  # cc labeling covered by 5x5 2D tests
 def test_bbbc2d_25x25_ideal_affinities(mws):
     ps = np.array([1, 25, 25])
     labels = _worm_labels()

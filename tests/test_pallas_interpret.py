@@ -24,8 +24,10 @@ def _random_affs(shape, P, seed=0):
 
 @pytest.mark.parametrize("kwargs", [
     {},
-    {"weight_mode": "count", "norm_aff": False},
-    {"weight_mode": "prob_product"},
+    pytest.param({"weight_mode": "count", "norm_aff": False},
+                 marks=pytest.mark.slow),
+    pytest.param({"weight_mode": "prob_product"},
+                 marks=pytest.mark.slow),
 ])
 def test_pallas_interpret_equals_symmetrized_xla(kwargs):
     affs = _random_affs((8, 9, 10), 27, seed=1)
