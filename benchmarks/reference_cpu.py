@@ -124,7 +124,9 @@ def _patch_random_sample():
 
 def main():
     _patch_random_sample()
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    no_inter = "--no-intersection" in sys.argv
+    size = int(args[0]) if args else 50
     sys.path.insert(0, REPO)
     from bench import PS, build_inputs
 
@@ -135,21 +137,26 @@ def main():
 
     os.makedirs("/tmp/refout", exist_ok=True)
     kwargs = ref_kwargs(PS)
+    tag = str(size)
+    if no_inter:
+        kwargs["removeIntersection"] = False
+        tag = f"{size}_nolcg"
     t0 = time.perf_counter()
     res = to_instance_seg(affs.astype(np.float32), fg, fg.copy(),
                           numinst, **kwargs)
     wall = time.perf_counter() - t0
     inst = res[0] if isinstance(res, tuple) else res
     n = len(np.unique(inst[inst > 0]))
-    out = {"size": size, "wall_s": wall, "n_instances": int(n),
+    out = {"size": size, "no_intersection": no_inter,
+           "wall_s": wall, "n_instances": int(n),
            "fg_vox": int(fg.sum())}
     print(json.dumps(out))
-    with open(os.path.join(REPO, f"benchmarks/reference_cpu_{size}.json"),
+    with open(os.path.join(REPO, f"benchmarks/reference_cpu_{tag}.json"),
               "w") as f:
         json.dump(out, f, indent=1)
-    np.save(os.path.join(REPO, f"benchmarks/reference_inst_{size}.npy"),
+    np.save(os.path.join(REPO, f"benchmarks/reference_inst_{tag}.npy"),
             inst)
-    if size >= 50:
+    if size >= 50 and not no_inter:
         # full volume: record as the bench assembly denominator
         bl_path = os.path.join(REPO, "bench_baseline.json")
         if os.path.exists(bl_path):
