@@ -1,0 +1,99 @@
+"""Blockwise out-of-core assembly at beyond-HBM scale on one chip.
+
+Whole-volume consensus at 120^3 with 7^3 patches needs
+(2*7-1)^3 x 120^3 x 4 B ~ 15 GB — more than one v5e's HBM — so this is
+exactly the scale the blockwise path exists for (ref
+stitch_patch_graph.py:553-669).  Builds a synthetic multi-instance
+volume, writes GT-derived affinities to zarr, and runs the wired
+`do_all` blockwise route (streaming reads, per-block persistence,
+stitching), checking the reconstructed instance count.
+
+Usage: python benchmarks/blockwise_scale.py [extent] (default 120)
+Writes benchmarks/blockwise_scale_<extent>.json
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PS = (7, 7, 7)
+
+
+def synth_labels(n: int, seed=0):
+    """Elongated tube instances spread over the volume (FlyLight-ish)."""
+    rng = np.random.RandomState(seed)
+    labels = np.zeros((n, n, n), np.int32)
+    lab = 0
+    for _ in range(12):
+        lab += 1
+        z0, y0 = rng.randint(10, n - 10, 2)
+        amp = rng.randint(3, 8)
+        xs = np.arange(5, n - 5)
+        zs = (z0 + amp * np.sin(xs / 11.0)).astype(int)
+        ys = (y0 + amp * np.cos(xs / 13.0)).astype(int)
+        for x, z, y in zip(xs, zs, ys):
+            if 2 <= z < n - 2 and 2 <= y < n - 2:
+                if labels[z - 1:z + 2, y - 1:y + 2, x].max() == 0:
+                    labels[z - 1:z + 2, y - 1:y + 2, x] = lab
+    return labels
+
+
+def main():
+    extent = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    from patchperpix_tpu.assembly import VoteInstancesParams, do_all
+    from patchperpix_tpu.ops.synthetic import labels_to_affinities
+    from patchperpix_tpu.utils import io as vio
+
+    labels = synth_labels(extent)
+    n_gt = len(np.unique(labels[labels > 0]))
+    affs = labels_to_affinities(labels, np.array(PS))
+    fg = labels > 0
+    print(f"extent {extent}, gt instances {n_gt}, "
+          f"fg vox {int(fg.sum())}", flush=True)
+
+    work = "/tmp/blockwise_scale"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    zpath = os.path.join(work, "sample.zarr")
+    io = vio.IoZarr(zpath, mode="w")
+    io.create("volumes/pred_affs", affs.shape, np.float16)
+    io.write(affs.astype(np.float16), key="volumes/pred_affs")
+    io.close()
+    del affs
+
+    params = VoteInstancesParams(
+        patchshape=PS, engine="jax", patch_threshold=0.5,
+        fc_threshold=0.5, mws=True, blockwise=True,
+        chunksize=(64, 64, 64), select_patches_for_sparse_data=True,
+        crop_to_foreground=True)
+    t0 = time.perf_counter()
+    out_path = do_all(zpath, params, result_folder=work)
+    wall = time.perf_counter() - t0
+
+    oh = vio.IoHDF5(out_path, mode="r")
+    inst = oh.read(key=params.res_key)
+    oh.close()
+    n_pred = len(np.unique(inst[inst > 0]))
+    # every GT tube maps to exactly one prediction id
+    split = sum(1 for g in range(1, n_gt + 1)
+                if len(np.unique(inst[(labels == g) & (inst > 0)])) > 1)
+    out = {"extent": extent, "chunksize": 64, "wall_s": wall,
+           "n_gt": n_gt, "n_pred": int(n_pred), "n_gt_split": split,
+           "fg_vox": int(fg.sum()),
+           "consensus_bytes_whole_volume": int(
+               np.prod([2 * p - 1 for p in PS])) * extent ** 3 * 4}
+    print(json.dumps(out))
+    with open(os.path.join(
+            REPO, f"benchmarks/blockwise_scale_{extent}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

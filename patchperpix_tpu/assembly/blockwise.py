@@ -462,6 +462,12 @@ def stitch_blocks(reader, fg, numinst, block_results,
             coords = np.array([c for pr in prs for c in pr], dtype=np.int64)
             w_start = np.maximum(coords.min(axis=0) - 2 * ps, 0)
             w_stop = np.minimum(coords.max(axis=0) + 2 * ps + 1, vol_shape)
+            # quantize the window EXTENT to multiples of 16: every distinct
+            # shape jit-compiles the consensus kernels (~50s for pallas
+            # 7^3), so data-dependent shapes would compile per block-pair
+            # group; readers zero-pad past the volume, which is vote-inert
+            ext = -(-(w_stop - w_start) // 16) * 16
+            w_stop = w_start + ext
             affs_w = reader.read_window(w_start, w_stop)
             fg_w = _crop(fg, w_start, w_stop)
             ni_w = _crop(numinst, w_start, w_stop)
