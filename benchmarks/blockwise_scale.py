@@ -71,7 +71,8 @@ def main():
     params = VoteInstancesParams(
         patchshape=PS, engine="jax", patch_threshold=0.5,
         fc_threshold=0.5, mws=True, blockwise=True,
-        chunksize=(64, 64, 64), select_patches_for_sparse_data=True,
+        chunksize=(64, 64, 64), consensus_bf16=True,
+        select_patches_for_sparse_data=True,
         crop_to_foreground=True)
     t0 = time.perf_counter()
     out_path = do_all(zpath, params, result_folder=work)

@@ -453,11 +453,19 @@ def stitch_blocks(reader, fg, numinst, block_results,
             cross_pairs.append((na, nb))
 
     if cross_pairs:
-        # group by block pair, one consensus window per group
+        # group by block pair AND a 48^3 spatial cell of the pair midpoint:
+        # one consensus window per group.  The spatial split bounds each
+        # stitch window to ~(4ps + 48) per axis, keeping device memory
+        # flat no matter how large the volume (an unsplit block-face group
+        # spans the whole face - at 128^2 faces the kernel operand stacks
+        # alone exceed HBM)
+        cell = 48
         groups: dict = {}
         for na, nb in cross_pairs:
             gkey = tuple(sorted((node_block[na], node_block[nb])))
-            groups.setdefault(gkey, []).append((na, nb))
+            mid = tuple(((np.asarray(na) + np.asarray(nb)) // 2)
+                        // cell)
+            groups.setdefault(gkey + mid, []).append((na, nb))
         for gkey, prs in groups.items():
             coords = np.array([c for pr in prs for c in pr], dtype=np.int64)
             w_start = np.maximum(coords.min(axis=0) - 2 * ps, 0)

@@ -389,7 +389,9 @@ def to_instance_seg(
     # (3) greedy foreground cover  (4) thin-out set cover
     if params.selected_patches is not None:
         selected = [(np.asarray(c), 1.0) for c in params.selected_patches]
-    elif params.skipSelection:
+    elif params.selected_patch_pairs is not None or params.skipSelection:
+        # injected pair list (blockwise stitching): the cover stages would
+        # only feed pair generation, which is skipped
         selected = ranked
     else:
         cover_host_only = (params.score_threshold is not None

@@ -455,10 +455,12 @@ def _patch_graph_weights_jit(
     blk_sp = tuple(int(p) for p in ps)
 
     # keep the padded consensus FLAT (n_off, *vol): a 6-D layout makes XLA
-    # tile the small neigh axes into (8,128) lanes (~10x HBM padding blowup)
+    # tile the small neigh axes into (8,128) lanes (~10x HBM padding
+    # blowup).  Input dtype (possibly bf16) is kept - a full f32 upcast
+    # here doubles the largest live array; slices upcast per segment.
     cons_sp_pad = jnp.pad(
         cons_sym.reshape((n_off,) + tuple(int(v) for v in vol_shape)),
-        [(0, 0)] + [(int(r), int(r)) for r in rad]).astype(jnp.float32)
+        [(0, 0)] + [(int(r), int(r)) for r in rad])
 
     # hi mask once per unique patch (pairs share endpoints ~40x)
     def per_patch_hi(c):
@@ -476,7 +478,7 @@ def _patch_graph_weights_jit(
         c1 = centers[i].astype(jnp.int32)
         pb = jax.lax.dynamic_slice(
             cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
-            (n_off,) + blk_sp).reshape(
+            (n_off,) + blk_sp).astype(jnp.float32).reshape(
                 tuple(int(v) for v in neigh) + blk_sp)
         panel = _skew_panel(pb, ps, neigh)       # (P, E...)
         hi1 = HIs[i]
