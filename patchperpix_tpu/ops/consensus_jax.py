@@ -525,12 +525,11 @@ def _patch_graph_weights_jit(
 
         return jax.vmap(one_pair)(partners, valid)
 
-    # batch_size vmaps 8 segments per scan step: ~8x fewer sequential
-    # steps (the per-step overhead dominated the stage at 50^3/7^3);
-    # 8 live panels are ~320 MB at 7^3 - well within HBM
+    # sequential map: vmapping segments (batch_size=) turns the panel
+    # dynamic-slices into gathers and measured 2.5x SLOWER on TPU
     return jax.lax.map(one_segment, (seg_first.astype(jnp.int32),
                                      seg_partner.astype(jnp.int32),
-                                     seg_valid), batch_size=8)
+                                     seg_valid))
 
 
 def patch_graph_weights(
