@@ -353,17 +353,28 @@ class Prefetcher:
             # build the batch once; retry the put until it fits (a put
             # inside the try would recompute and discard a full augmented
             # batch on every queue.Full, busy-burning host CPU)
-            batch = self.sampler.batch(self.max_gt_channels,
-                                       with_partly=self.with_partly)
+            try:
+                batch = self.sampler.batch(self.max_gt_channels,
+                                           with_partly=self.with_partly)
+            except BaseException as e:  # propagate instead of deadlocking
+                batch = e
             while not self._stop.is_set():
                 try:
                     self.queue.put(batch, timeout=1.0)
                     break
                 except queue.Full:
                     continue
+            if isinstance(batch, BaseException):
+                return
 
     def next(self):
-        return self.queue.get()
+        batch = self.queue.get()
+        if isinstance(batch, BaseException):
+            # the sampler thread died; surface its error in the caller
+            # (a silent dead thread would block next() forever)
+            raise RuntimeError("prefetcher sampler thread failed") \
+                from batch
+        return batch
 
     def stop(self):
         self._stop.set()

@@ -43,6 +43,10 @@ class TrainConfig:
     swa_freq: int = 1
     output_folder: str = "."
     log_every: int = 100
+    tensorboard: bool = True   # scalar summaries to <output>/tb when
+                               # torch.utils.tensorboard is available
+                               # (ref gp.TorchTrainExt(log_dir=...),
+                               # train.py:521)
     mask_bg_weight: float = 0.01
     use_gt_extra: bool = False
     add_partly: bool = False   # partly-labeled data: per-pixel loss mask
@@ -283,6 +287,15 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
 
     log_path = os.path.join(tcfg.output_folder, "train_log.jsonl")
     log_f = open(log_path, "a")
+    tb_writer = None
+    if tcfg.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(
+                os.path.join(tcfg.output_folder, "tb"))
+        except Exception:  # tensorboard optional
+            tb_writer = None
     snap_fwd = None
     t0 = time.time()
     while step < tcfg.max_iterations:
@@ -306,6 +319,10 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             mets.update(step=step, wall=time.time() - t0)
             log_f.write(json.dumps(mets) + "\n")
             log_f.flush()
+            if tb_writer is not None:
+                for k, v in mets.items():
+                    if k not in ("step", "wall"):
+                        tb_writer.add_scalar(f"train/{k}", v, step)
             logger.info("step %d loss %.5f (patch %.5f fg %.5f)",
                         step, mets["loss"], mets["loss_patch"],
                         mets["loss_fg"])
@@ -324,6 +341,10 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             vmets["step"] = step
             log_f.write(json.dumps(vmets) + "\n")
             log_f.flush()
+            if tb_writer is not None:
+                for k, v in vmets.items():
+                    if k != "step":
+                        tb_writer.add_scalar(f"val/{k[4:]}", v, step)
 
         if tcfg.snapshots and step % tcfg.snapshots == 0:
             # periodic raw/gt/pred snapshot hdf (gp.Snapshot saves the
@@ -364,5 +385,7 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             logger.info("saved checkpoint %s", path)
 
     log_f.close()
+    if tb_writer is not None:
+        tb_writer.close()
     state.update(params=params, opt_state=opt_state, step=step)
     return state

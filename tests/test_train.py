@@ -301,3 +301,31 @@ def test_sampler_partly_flag_flows(tmp_path):
         f.create_dataset("volumes/gt_instances", data=sd.labels)
     loaded = load_sample(p, "volumes/raw", "volumes/gt_instances")
     assert loaded.partly
+
+
+def test_tensorboard_events_written(tmp_path):
+    mcfg = _model_cfg(False)
+    model = PPPModel(mcfg)
+    pf = Prefetcher(_sampler_same_padding(), cache_size=2,
+                    max_gt_channels=4)
+    tcfg = TrainConfig(max_iterations=2, checkpoints=2, lr=1e-3,
+                       output_folder=str(tmp_path), log_every=1)
+    train_until(model, mcfg, tcfg, pf)
+    pf.stop()
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "tb" / "events.*")), \
+        "tensorboard scalar events not written"
+
+
+def test_prefetcher_propagates_sampler_error():
+    """A crashed sampler thread must raise in next(), not deadlock."""
+
+    class BadSampler:
+        def batch(self, *a, **k):
+            raise ValueError("boom")
+
+    pf = Prefetcher(BadSampler(), cache_size=2)
+    with pytest.raises(RuntimeError, match="sampler thread failed"):
+        pf.next()
+    pf.stop()
