@@ -41,6 +41,28 @@ from .vote_instances import VoteInstancesParams, to_instance_seg
 logger = logging.getLogger(__name__)
 
 
+def _global_center_valid(w_start, w_shape, vol_shape, rad):
+    """Bool mask gating patch centers to the GLOBAL volume interior, or
+    None when the window lies fully inside it (all centers valid).  Border
+    windows otherwise treat zero-padded out-of-volume context as interior
+    and select/vote centers the whole-volume path excludes."""
+    w_start = np.asarray(w_start)
+    w_shape = np.asarray(w_shape)
+    vol_shape = np.asarray(vol_shape)
+    rad = np.asarray(rad)
+    if np.all(w_start >= rad) and np.all(
+            w_start + w_shape <= vol_shape - rad):
+        return None
+    axes = []
+    for ax in range(len(w_shape)):
+        g = w_start[ax] + np.arange(w_shape[ax])
+        axes.append((g >= rad[ax]) & (g < vol_shape[ax] - rad[ax]))
+    out = axes[0]
+    for a in axes[1:]:
+        out = out[..., None] & a
+    return out
+
+
 def get_offsets(shape, chunksize) -> list[np.ndarray]:
     """Grid of block offsets covering ``shape``
     (stitch_patch_graph.py:425-440)."""
@@ -107,10 +129,13 @@ class ZarrAffReader:
         sp = tuple(int(s) for s in sp)
         self.lift_2d = len(sp) == 2
         self.spatial_shape = (1,) + sp if self.lift_2d else sp
-        # probe a corner window to detect logits
-        probe = self._read_raw(np.zeros(len(sp), np.int64),
-                               np.minimum(np.asarray(sp), 8))
-        self.is_logits = probe.min() < 0 or probe.max() > 1
+        # logits detection over the full CENTER channel with the same
+        # min<0 AND max>1 rule as load_affinities (a small corner probe
+        # with an OR rule mis-detected stores whose corner was zero-fill
+        # or whose probabilities hug 0.5)
+        self.is_logits = False  # read_channel must not sigmoid the probe
+        center = self.read_channel(self.P // 2)
+        self.is_logits = bool(center.min() < 0 and center.max() > 1)
 
     def _read_raw(self, start, stop) -> np.ndarray:
         bb = tuple(slice(int(a), int(b)) for a, b in zip(start, stop))
@@ -301,7 +326,10 @@ def compute_blocks(
         core[core_sl] = True
         mask_b = np.logical_and(mask_b, core)
 
-        res = to_instance_seg(affs_b, fg_b, mask_b, ni_b, block_params)
+        cv = _global_center_valid(w_start, fg_b.shape, fg.shape, rad)
+        bparams = block_params if cv is None else VoteInstancesParams(
+            **{**block_params.__dict__, "center_valid": cv})
+        res = to_instance_seg(affs_b, fg_b, mask_b, ni_b, bparams)
         if res[0] is None:
             _save_block(store, key, None, None)
             return key, None
@@ -473,8 +501,11 @@ def stitch_blocks(reader, fg, numinst, block_results,
             # quantize the window EXTENT to multiples of 16: every distinct
             # shape jit-compiles the consensus kernels (~50s for pallas
             # 7^3), so data-dependent shapes would compile per block-pair
-            # group; readers zero-pad past the volume, which is vote-inert
+            # group; readers zero-pad past the volume, which is vote-inert.
+            # Flat axes (2D-lifted z) keep extent 1 - quantizing them
+            # would 16x the per-group consensus work for pure padding.
             ext = -(-(w_stop - w_start) // 16) * 16
+            ext = np.where(vol_shape == 1, w_stop - w_start, ext)
             w_stop = w_start + ext
             affs_w = reader.read_window(w_start, w_stop)
             fg_w = _crop(fg, w_start, w_stop)
@@ -483,12 +514,14 @@ def stitch_blocks(reader, fg, numinst, block_results,
                 [np.concatenate([np.array(na) - w_start,
                                  np.array(nb) - w_start])
                  for na, nb in prs], dtype=np.uint32)
+            cv = _global_center_valid(w_start, fg_w.shape, fg.shape,
+                                      np.asarray([p // 2 for p in ps]))
             wparams = VoteInstancesParams(
                 **{**params.__dict__,
                    "blockwise": True, "return_intermediates": True,
                    "skipRanking": True, "skeletonize_foreground": False,
                    "selected_patch_pairs": local_pairs,
-                   "selected_patches": None})
+                   "selected_patches": None, "center_valid": cv})
             res = to_instance_seg(affs_w, fg_w, fg_w.copy(), ni_w, wparams)
             if res[0] is None:
                 continue

@@ -145,6 +145,11 @@ class VoteInstancesParams:
                                          # compute and goes straight to
                                          # labeling (affGraphToInstancesT)
     oracle_scores: np.ndarray | None = None   # per-pixel IoU volume
+    center_valid: np.ndarray | None = None   # blockwise: gate patch centers
+                                             # to GLOBAL-volume interior so
+                                             # border blocks match the
+                                             # whole-volume result (jax
+                                             # engines only)
     seed: int = 0
 
     @classmethod
@@ -296,6 +301,11 @@ def to_instance_seg(
     # Upload the affinity stack ONCE; all device stages share it (repeated
     # numpy->jit calls re-transfer it every time).
     overlap_arg = (overlap_mask > 0) if params.overlapping_inst else None
+    cv_arg = None
+    if params.center_valid is not None:
+        assert use_jax, "center_valid requires a jax engine"
+        cv_arg = np.asarray(params.center_valid, dtype=bool)
+        assert cv_arg.shape == tuple(vol_shape)
     sharded_scores = None
     if use_jax:
         import jax
@@ -304,6 +314,8 @@ def to_instance_seg(
                          else jax.device_put(pred_affs))
         if overlap_arg is not None:
             overlap_arg = jax.device_put(overlap_arg)
+        if cv_arg is not None:
+            cv_arg = jax.device_put(cv_arg)
         n_sh = _sharded_mesh_size(params, vol_shape, ccfg)
         with _stage_trace("consensus"):
             if n_sh > 1:
@@ -316,6 +328,8 @@ def to_instance_seg(
 
                 use_pallas = False
                 mesh = make_spatial_mesh(n_sh)
+                assert cv_arg is None, \
+                    "center_valid + sharded not supported together"
                 cons, sharded_scores = sharded_consensus_and_rank(
                     pred_affs_dev, ccfg, mesh, overlap=overlap_arg)
             elif use_pallas:
@@ -323,10 +337,12 @@ def to_instance_seg(
                 # directly (canonical half identical; no separate
                 # symmetrize pass)
                 cons = consensus_array_pallas(pred_affs_dev, ccfg,
-                                              overlap=overlap_arg)
+                                              overlap=overlap_arg,
+                                              center_valid=cv_arg)
             else:
                 cons = consensus_array(pred_affs_dev, ccfg,
-                                       overlap=overlap_arg)
+                                       overlap=overlap_arg,
+                                       center_valid=cv_arg)
         cons_np = None
     else:
         cons_np, _ = ref.consensus_reference(
@@ -354,7 +370,8 @@ def to_instance_seg(
     elif use_jax:
         with _stage_trace("rank"):
             scores = np.asarray(rank_scores(pred_affs_dev, cons, ccfg,
-                                            overlap=overlap_arg))
+                                            overlap=overlap_arg,
+                                            center_valid=cv_arg))
     else:
         scores = ref.rank_patches_reference(
             pred_affs, cons_np, ps, th=params.patch_threshold,
@@ -364,6 +381,10 @@ def to_instance_seg(
     logger.info("stage rank: %.2fs", time.perf_counter() - _t_stage)
     interior = np.zeros(vol_shape, dtype=bool)
     interior[radslice] = True
+    if params.center_valid is not None:
+        # blockwise: candidate patches must be interior in the GLOBAL
+        # volume, not just this block's window
+        interior &= np.asarray(params.center_valid, dtype=bool)
     all_patches = [tuple(c) for c in np.argwhere(foreground & interior)]
     if params.isbi_hack:
         from .isbi_hacks import (filter_instance_boundaries_from_fg,
@@ -510,6 +531,20 @@ def _maybe_unpad(instances, foreground, rad, params):
     return instances.astype(np.uint16), foreground.astype(np.uint8)
 
 
+def numinst_from_probs(prob: np.ndarray,
+                       params: VoteInstancesParams) -> np.ndarray:
+    """Per-voxel instance count from class probabilities
+    (utilVoteInstances.py:260-272): per-class thresholds when configured,
+    else argmax."""
+    prob = np.asarray(prob, dtype=np.float32)
+    if params.numinst_threshs:
+        numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
+        for i, t in enumerate(params.numinst_threshs):
+            numinst[prob[i + 1] > t] = i + 1
+        return numinst
+    return np.argmax(prob, axis=0).astype(np.uint8)
+
+
 def _derive_fg_numinst(io, params: VoteInstancesParams,
                        center_channel_reader=None):
     """Derive (numinst, foreground) masks from the prediction store
@@ -525,11 +560,7 @@ def _derive_fg_numinst(io, params: VoteInstancesParams,
         prob = np.squeeze(io.read(key=params.numinst_key)).astype(np.float32)
         if prob.ndim == 3:
             prob = prob[:, None]
-        numinst = np.argmax(prob, axis=0).astype(np.uint8)
-        if params.numinst_threshs:
-            numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
-            for i, t in enumerate(params.numinst_threshs):
-                numinst[prob[i + 1] > t] = i + 1
+        numinst = numinst_from_probs(prob, params)
         foreground = numinst > 0
     elif params.fg_key:
         fg_prob = np.squeeze(io.read(key=params.fg_key))

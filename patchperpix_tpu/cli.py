@@ -144,6 +144,11 @@ def get_checkpoint_list(train_folder: str) -> list[int]:
 
 
 def _resolve_checkpoint(args, config, paths) -> int:
+    # --test-checkpoint pins the checkpoint for test-split stages
+    # (ref run_ppp.py test_checkpoint); --checkpoint applies everywhere
+    if getattr(args, "mode", None) == "test" \
+            and getattr(args, "test_checkpoint", None):
+        return args.test_checkpoint
     if args.checkpoint:
         return args.checkpoint
     cps = get_checkpoint_list(paths["train"])
@@ -191,13 +196,10 @@ def _test_shapes(config, mcfg):
 def mknet(args, config, paths):
     """Compute + persist net input/output shapes (replaces the TF1 graph
     builder and the torch zero-probe, run_ppp.py:376-415)."""
-    from .models.unet import valid_output_shape
-
     model, mcfg = _build_model(config)
     for name, (in_sp, pad) in (("train_net", _train_shapes(config, mcfg)),
                                ("test_net", _test_shapes(config, mcfg))):
         if pad == "valid":
-            unet = model.cfg and None
             # compute via eval_shape on the real model
             import jax
             import jax.numpy as jnp
@@ -532,12 +534,12 @@ def infer_fused(args, config, paths, mode=None, checkpoint=None,
             nc["input_shape"], nc["output_shape"])
         prob = np.asarray(h2, np.float32)
         if mcfg.overlapping_inst:
-            numinst = np.zeros(prob.shape[1:], np.uint8)
-            for i, t in enumerate(vparams.numinst_threshs):
-                numinst[prob[i + 1] > t] = i + 1
+            from .assembly.vote_instances import numinst_from_probs
+
+            numinst = numinst_from_probs(prob, vparams)
             fg = numinst > 0
         else:
-            fg = prob[0] >= fg_thresh
+            fg = prob[0] > fg_thresh  # same comparison as load_affinities
             numinst = fg.astype(np.uint8)
         if mcfg.train_code:
             affs = decode_volume_device(model, params, h1, fg, mcfg)
@@ -621,7 +623,8 @@ def _metric_of(metric_dicts: dict, metric_key: str) -> float:
 
 
 @time_func
-def validate_checkpoints(args, config, paths):
+def validate_checkpoints(args, config, paths, mode=None,
+                         results_name="results.json"):
     """Grid search: checkpoints x parameter sets; selects the best by the
     configured metric and writes results.json (run_ppp.py:919-1051)."""
     val = config.get("validation", {})
@@ -633,9 +636,12 @@ def validate_checkpoints(args, config, paths):
     if args.param_set is not None:
         param_sets = [param_sets[args.param_set]]
 
-    # --validate_on_train scores checkpoints on the train split
-    # (ref run_ppp.py validate_on_train handling)
-    vmode = "train" if getattr(args, "validate_on_train", False) else "val"
+    # selection split: val by default; 'train' with --validate_on_train
+    # (ref run_ppp.py); cross_validate passes mode= explicitly per fold
+    if getattr(args, "validate_on_train", False):
+        vmode = "train"
+    else:
+        vmode = mode or "val"
     results = []
     for cp in checkpoints:
         predict(args, config, paths, mode=vmode, checkpoint=cp)
@@ -658,7 +664,7 @@ def validate_checkpoints(args, config, paths):
 
     best = max(results, key=lambda r: r["score"]) if results else None
     out = {"results": results, "best": best}
-    with open(os.path.join(paths["base"], "results.json"), "w") as f:
+    with open(os.path.join(paths["base"], results_name), "w") as f:
         json.dump(out, f, indent=2, default=float)
     return out
 
@@ -685,7 +691,12 @@ def cross_validate(args, config, paths):
         app_mode = fold_modes.get(apply_fold, "test")
         args_sel = copy.copy(args)
         args_sel.mode = sel_mode
-        r = validate_checkpoints(args_sel, config, paths)
+        # mode= routes selection to THIS fold's split (validate_checkpoints
+        # otherwise defaults to val, which made the second fold select and
+        # apply on the same split); fold-qualified results file so the
+        # second fold doesn't overwrite the first fold's grid scores
+        r = validate_checkpoints(args_sel, config, paths, mode=sel_mode,
+                                 results_name=f"results_{sel_mode}.json")
         best = r["best"]
         if best is None:
             continue

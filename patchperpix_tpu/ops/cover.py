@@ -131,9 +131,13 @@ def _thin_cover_volume_lazy(affs, centers, mask, interior,
         def pick(st):
             running, selected, sizes, stale, picks, done, rem, it = st
             best_size = sizes[best]
+            # the reference marks selected[best] BEFORE its zero-size
+            # break (np_reference.py:417-425), so the final zero-gain
+            # patch is still selected
+            selected = selected.at[best].set(True)
 
             def do(args):
-                running, selected, sizes, stale, rem = args
+                running, sizes, stale, rem = args
                 start = tuple(centers[best][k] for k in range(ndim))
                 win = jax.lax.dynamic_slice(running, start, ps)
                 newly = pmasks[best].reshape(ps) * win
@@ -146,12 +150,11 @@ def _thin_cover_volume_lazy(affs, centers, mask, interior,
                     axis=1)
                 stale = (stale | near).at[best].set(False)
                 sizes = sizes.at[best].set(0.0)
-                return (running, selected.at[best].set(True), sizes,
-                        stale, rem)
+                return running, sizes, stale, rem
 
-            running, selected, sizes, stale, rem = jax.lax.cond(
+            running, sizes, stale, rem = jax.lax.cond(
                 best_size > 0, do, lambda a: a,
-                (running, selected, sizes, stale, rem))
+                (running, sizes, stale, rem))
             return (running, selected, sizes, stale,
                     picks + 1, best_size <= 0, rem, it)
 
@@ -199,18 +202,17 @@ def _thin_cover_volume(affs, centers, mask, interior,
         sizes = jax.vmap(lambda i: count_one(i, running))(jnp.arange(n))
         best = jnp.argmax(sizes)
         best_size = sizes[best]
+        # reference selects before its zero-size break
+        selected = selected.at[best].set(True)
 
-        def do(args):
-            running, selected = args
+        def do(running):
             start = tuple(centers[best][k] for k in range(ndim))
             win = jax.lax.dynamic_slice(running, start, ps)
             newly = pmasks[best].reshape(ps) * win
-            running = jax.lax.dynamic_update_slice(running, win - newly,
-                                                   start)
-            return running, selected.at[best].set(True)
+            return jax.lax.dynamic_update_slice(running, win - newly,
+                                                start)
 
-        running, selected = jax.lax.cond(best_size > 0, do, lambda a: a,
-                                         (running, selected))
+        running = jax.lax.cond(best_size > 0, do, lambda r: r, running)
         return running, selected, picks + 1, best_size
 
     state = jax.lax.while_loop(

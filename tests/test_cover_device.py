@@ -72,3 +72,22 @@ def test_thin_cover_parity_3d():
     thin_dev = thin_out_cover_device(affs, fg, selected, ps)
     assert [tuple(rp[0]) for rp in thin_host] == \
         [tuple(rp[0]) for rp in thin_dev]
+
+
+def test_thin_cover_selects_final_zero_gain_patch():
+    """The reference marks selected[best] BEFORE its zero-size loop break,
+    so when uncovered fg remains that no patch can cover, one zero-gain
+    patch is still selected - the device loops must match."""
+    ps = np.array([1, 3, 3])
+    vol = (1, 12, 12)
+    P = 9
+    affs = np.zeros((P,) + vol, np.float32)
+    # one patch at (0,5,5) covering only its center
+    affs[P // 2, 0, 5, 5] = 1.0
+    mask = np.zeros(vol, bool)
+    mask[0, 5, 5] = True
+    mask[0, 8, 8] = True  # uncoverable fg pixel keeps the loop alive
+    patches = [((0, 5, 5), 1.0), ((0, 2, 2), 0.5)]
+    host = ref.thin_out_cover_reference(affs, mask.copy(), patches, ps)
+    dev = thin_out_cover_device(affs, mask.copy(), patches, ps)
+    assert [tuple(p[0]) for p in host] == [tuple(p[0]) for p in dev]
