@@ -142,8 +142,9 @@ def trained_e2e(sample, iters: int, out_dir: str, big: bool = False):
             train_code=False, padding="same")
     model = PPPModel(mcfg)
 
+    crop = (40, 40, 40) if big else (32, 32, 32)  # more context for big
     scfg = SamplerConfig(
-        input_shape=(32, 32, 32), output_shape=(32, 32, 32),
+        input_shape=crop, output_shape=crop,
         patchshape=ps, batch_size=3,
         probability_fg=0.8, probability_overlap=0.15,
         probability_random=0.05,
@@ -160,7 +161,7 @@ def trained_e2e(sample, iters: int, out_dir: str, big: bool = False):
     params = state["params"]
 
     h1, h2 = predict_volume_device(model, params, sample.raw, mcfg,
-                                   (32, 32, 32), (32, 32, 32))
+                                   crop, crop)
     prob = np.asarray(h2, np.float32)
     numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
     for i, t in enumerate((0.9, 0.1)):
