@@ -108,11 +108,18 @@ def oracle_assembly(sample):
     return scores
 
 
-def trained_e2e(sample, iters: int, out_dir: str, big: bool = False):
-    """Overfit-train on the crop, then predict -> assemble -> evaluate."""
+def trained_e2e(sample, iters: int, out_dir: str, big: bool = False,
+                resume: bool = False):
+    """Overfit-train on the crop, then predict -> assemble -> evaluate.
+
+    ``resume`` keeps existing checkpoints and continues toward ``iters`` -
+    used to chunk long runs across processes (the axon H2D path leaks
+    ~5 MB of host RAM per step, OOM-killing single-process runs beyond
+    ~20k steps at 40^3 crops)."""
     import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)  # fresh run, no stale resume
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)  # fresh, no stale resume
     import jax
     import jax.numpy as jnp
 
@@ -151,7 +158,8 @@ def trained_e2e(sample, iters: int, out_dir: str, big: bool = False):
         augment=AugmentConfig(elastic=False, mirror=True, transpose=True))
     sampler = CropSampler([sample], scfg)
     pf = Prefetcher(sampler, cache_size=8, max_gt_channels=3)
-    tcfg = TrainConfig(max_iterations=iters, checkpoints=iters,
+    tcfg = TrainConfig(max_iterations=iters,
+                       checkpoints=min(5000, iters),
                        snapshots=0, lr=1e-3,
                        output_folder=out_dir, log_every=200)
     t0 = time.perf_counter()
@@ -196,6 +204,7 @@ def main():
     iters = int(args[0]) if args else 3000
     big = "--big" in sys.argv
     skip_oracle = "--skip-oracle" in sys.argv
+    resume = "--resume" in sys.argv
     os.makedirs(OUT_DIR, exist_ok=True)
     sample = load_sample(FIXTURE, "volumes/raw", "volumes/gt_instances",
                          clipmax=1500)
@@ -214,7 +223,7 @@ def main():
     print(f"== trained e2e ({iters} iters, big={big}) ==", flush=True)
     results["trained_e2e"] = trained_e2e(sample, iters,
                                          os.path.join(OUT_DIR, "train"),
-                                         big=big)
+                                         big=big, resume=resume)
     results["trained_e2e"]["model"] = "fmaps20" if big else "fmaps16"
     print(json.dumps(results["trained_e2e"], indent=1), flush=True)
 
