@@ -579,6 +579,11 @@ def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
         keep_gt_shape=ev.get("keep_gt_shape", False),
         add_general_metrics=ev.get("add_general_metrics", ()),
         add_multi_thresh_metrics=ev.get("add_multi_thresh_metrics", ()))
+    # partly-labeled split (run_ppp.py:1206-1212): when add_partly_val is
+    # set and a partly-annotated GT variant exists (complete -> partly path
+    # swap), evaluate against it with partly=True so predictions in
+    # unlabeled regions are not counted as FP
+    add_partly_val = bool(data.get("add_partly_val", False))
     jobs = []
     for path in sorted(glob.glob(os.path.join(inst_dir, "*.hdf"))):
         s = os.path.splitext(os.path.basename(path))[0]
@@ -586,7 +591,12 @@ def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
             continue
         gt_file = os.path.join(data_dir,
                                s + "." + data.get("input_format", "zarr"))
-        jobs.append((s, path, gt_file))
+        partly = "partly" in gt_file
+        if add_partly_val and not partly:
+            partly_gt = gt_file.replace("complete", "partly")
+            if partly_gt != gt_file and os.path.exists(partly_gt):
+                gt_file, partly = partly_gt, True
+        jobs.append((s, path, gt_file, partly))
     from .parallel.multihost import shard_samples
 
     jobs = shard_samples(jobs)  # multi-host fan-out (no-op solo)
@@ -594,24 +604,38 @@ def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
     # per-sample parallel evaluation (ref joblib, run_ppp.py:1469-1475)
     n_workers = int(ev.get("num_workers", 1))
     metric_dicts = {}
+    complete = {s: not partly for s, _p, _g, partly in jobs}
     if n_workers > 1 and len(jobs) > 1:
         from concurrent.futures import ProcessPoolExecutor
 
         with ProcessPoolExecutor(max_workers=n_workers) as ex:
-            futs = {s: ex.submit(evaluate_file, p, g, **kwargs)
-                    for s, p, g in jobs}
+            futs = {s: ex.submit(evaluate_file, p, g, partly=partly,
+                                 **kwargs)
+                    for s, p, g, partly in jobs}
             for s, fut in futs.items():
                 metric_dicts[s] = fut.result()
     else:
-        for s, p, g in jobs:
-            metric_dicts[s] = evaluate_file(p, g, **kwargs)
+        for s, p, g, partly in jobs:
+            metric_dicts[s] = evaluate_file(p, g, partly=partly, **kwargs)
     for s, res in metric_dicts.items():
         with open(os.path.join(eval_dir, s + ".json"), "w") as f:
             json.dump(res, f, indent=2, default=float)
 
+    # summaries (run_ppp.py:1488-1529): complete samples -> summary.csv,
+    # partly samples -> summary_partly.csv, all -> summary_combined.csv
     if metric_dicts and ev.get("summary"):
-        summarize_metric_dict(metric_dicts, ev["summary"],
-                              os.path.join(eval_dir, "summary.csv"))
+        full = {s: m for s, m in metric_dicts.items() if complete[s]}
+        part = {s: m for s, m in metric_dicts.items() if not complete[s]}
+        name = "summary.csv" if full or not part else "summary_partly.csv"
+        summarize_metric_dict(full or part, ev["summary"],
+                              os.path.join(eval_dir, name))
+        if full and part:
+            summarize_metric_dict(
+                part, ev.get("summary_partly", ev["summary"]),
+                os.path.join(eval_dir, "summary_partly.csv"))
+            summarize_metric_dict(metric_dicts, ev["summary"],
+                                  os.path.join(eval_dir,
+                                               "summary_combined.csv"))
     return metric_dicts
 
 

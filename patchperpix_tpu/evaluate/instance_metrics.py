@@ -136,6 +136,7 @@ def evaluate_labels(
     add_general_metrics=("avg_gt_skel_coverage", "avg_f1_cov_score"),
     add_multi_thresh_metrics=("avg_tp_skel_coverage",),
     fs_fm_floor: float = 0.1,
+    partly: bool = False,
 ) -> dict:
     """Full metric dict for one sample.
 
@@ -152,6 +153,11 @@ def evaluate_labels(
     - avg_tp_skel_coverage (per threshold): mean over matched gts of the
       ASSIGNED prediction's gt-skeleton recall gt_cov[g, p].
     - avg_f1_cov_score = (avFscore + avg_gt_skel_coverage) / 2.
+    - partly: the GT is only partly labeled — predictions that do not
+      intersect any labeled GT voxel are dropped before matching so they
+      are not counted as FP (reference routes ``partly=`` into the
+      external evaluate_file, run_ppp.py:1206-1212, 1254; unlabeled
+      regions may contain true instances the annotators skipped).
     """
     from ..utils.postprocess import remove_small_components as rm_small
 
@@ -160,6 +166,14 @@ def evaluate_labels(
         pred_labels = rm_small(pred_labels, remove_small_components)
     gt_masks = _instance_masks(np.asarray(gt_labels), keep_shape=keep_gt_shape)
     pred_masks = _instance_masks(pred_labels)
+
+    n_pred_unfiltered = len(pred_masks)
+    if partly and gt_masks:
+        gt_union = np.zeros_like(gt_masks[0][1])
+        for _, g in gt_masks:
+            gt_union |= g
+        pred_masks = [(i, p) for i, p in pred_masks
+                      if np.logical_and(p, gt_union).any()]
 
     want_tp_skel = "avg_tp_skel_coverage" in (add_multi_thresh_metrics or ())
     want_gt_skel = "avg_gt_skel_coverage" in (add_general_metrics or ())
@@ -176,6 +190,9 @@ def evaluate_labels(
     n_gt, n_pred = len(gt_masks), len(pred_masks)
     result = {"general": {"Num GT": n_gt, "Num Pred": n_pred},
               "confusion_matrix": {}}
+    if partly:
+        result["general"]["Num Pred unfiltered"] = n_pred_unfiltered
+        result["general"]["partly"] = True
 
     # matching-independent split/merge counts above the overlap floor
     overl = scores > fs_fm_floor
@@ -242,7 +259,7 @@ def evaluate_file(
     gio.close()
     known = {"localization_criterion", "assignment_strategy", "thresholds",
              "remove_small_components", "keep_gt_shape",
-             "add_general_metrics", "add_multi_thresh_metrics"}
+             "add_general_metrics", "add_multi_thresh_metrics", "partly"}
     kw = {k: v for k, v in kwargs.items() if k in known}
     return evaluate_labels(pred, gt, **kw)
 

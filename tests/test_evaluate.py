@@ -256,3 +256,27 @@ def test_average_score_over_instances():
     assert abs(acc["avFscore"] - 2 / 3) < 1e-9
     assert acc["false_split"] == 4
     assert abs(avs2 - avs) < 1e-9
+
+
+def test_partly_excludes_unlabeled_region_fp():
+    """Partly-labeled GT (run_ppp.py:1206-1212): a prediction on an
+    unlabeled region is NOT an FP for a partly sample but IS for a
+    complete one."""
+    gt = np.zeros((20, 20), dtype=np.int32)
+    gt[2:8, 2:8] = 1
+    pred = np.zeros((20, 20), dtype=np.int32)
+    pred[2:8, 2:8] = 1          # matches the labeled gt
+    pred[12:18, 12:18] = 2      # in an unlabeled region
+
+    full = evaluate_labels(pred, gt, localization_criterion="iou",
+                           assignment_strategy="hungarian")
+    assert full["general"]["Num Pred"] == 2
+    assert full["confusion_matrix"]["th_0_5"]["AP_FP"] == 1
+
+    part = evaluate_labels(pred, gt, localization_criterion="iou",
+                           assignment_strategy="hungarian", partly=True)
+    assert part["general"]["Num Pred"] == 1
+    assert part["general"]["Num Pred unfiltered"] == 2
+    assert part["confusion_matrix"]["th_0_5"]["AP_FP"] == 0
+    assert part["confusion_matrix"]["th_0_5"]["AP_TP"] == 1
+    assert part["confusion_matrix"]["th_0_5"]["fscore"] == 1.0
