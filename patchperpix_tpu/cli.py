@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import copy
+import dataclasses
 import functools
 import glob
 import json
@@ -169,7 +170,15 @@ def _load_params(model, mcfg, paths, step, config, use_swa=False):
     from .train.trainer import checkpoint_path, load_checkpoint
 
     state = load_checkpoint(checkpoint_path(paths["train"], step))
-    return state["swa_params" if use_swa else "params"]
+    if use_swa:
+        # stochastic weight averaging weights (ref predict_no_gp.py:67-72
+        # loads "swa_model" state); fall back to the raw params when the
+        # checkpoint predates SWA being enabled
+        if "swa_params" in state:
+            return state["swa_params"]
+        logger.warning("prediction.use_swa set but checkpoint %s has no "
+                       "swa_params; using raw params", step)
+    return state["params"]
 
 
 def _train_shapes(config, mcfg):
@@ -308,21 +317,53 @@ def train(args, config, paths):
     tcfg = TrainConfig(
         max_iterations=max_iter,
         checkpoints=tr.get("checkpoints", 5000),
+        snapshots=tr.get("snapshots", 10000),
         val_log_step=tr.get("val_log_step", 0),
         lr=config.get("optimizer", {}).get("optimizer", {}).get("lr", 1e-4),
+        lr_schedule=config.get("optimizer", {}).get("optimizer", {}).get(
+            "lr_schedule", ""),
+        warmup_steps=config.get("optimizer", {}).get("optimizer", {}).get(
+            "warmup_steps", 0),
         optimizer=config.get("optimizer", {}).get("optimizer", {}).get(
             "optimizer", "Adam"),
         output_folder=paths["train"],
+        use_swa=bool(tr.get("use_swa", False)),
+        swa_start=int(tr.get("swa_start", 0)),
+        swa_freq=int(tr.get("swa_freq", 1)),
         use_gt_extra=tr.get("use_gt_extra", False),
         add_partly=add_partly,
         mask_bg_weight=tr.get("mask_bg_weight", 0.01))
+
+    # interleaved validation (ref TrainValProvider train.py:338-374): when
+    # val_log_step is set, sample no-augment batches from val_data and log
+    # val_* metrics every val_log_step iterations
+    val_batch_fn = None
+    val_pf = None
+    if tcfg.val_log_step > 0:
+        val_dir = args.val_data or data.get("val_data")
+        if val_dir and os.path.isdir(val_dir):
+            val_samples = _load_dir(val_dir)
+            vcfg = dataclasses.replace(
+                scfg, augment=AugmentConfig(
+                    elastic=False, mirror=False, transpose=False))
+            val_sampler = CropSampler(val_samples, vcfg)
+            val_pf = Prefetcher(val_sampler, cache_size=2,
+                                with_partly=add_partly)
+            val_batch_fn = val_pf.next
+        else:
+            logger.warning("val_log_step=%d but no val_data dir (%s); "
+                           "interleaved validation disabled",
+                           tcfg.val_log_step, val_dir)
     mesh = None
     if int(tr.get("num_devices", 1)) > 1:
         from .train.trainer import make_data_mesh
 
         mesh = make_data_mesh(num_devices=int(tr["num_devices"]))
-    state = train_until(model, mcfg, tcfg, pf, mesh=mesh)
+    state = train_until(model, mcfg, tcfg, pf, val_batch_fn=val_batch_fn,
+                        mesh=mesh)
     pf.stop()
+    if val_pf is not None:
+        val_pf.stop()
     return state["step"]
 
 

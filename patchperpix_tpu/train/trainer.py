@@ -37,6 +37,10 @@ class TrainConfig:
     snapshots: int = 10000
     val_log_step: int = 0
     lr: float = 1e-4
+    lr_schedule: str = ""    # "" (constant, ref train.py:498 Adam 1e-4),
+                             # "cosine" (linear warmup + cosine decay to
+                             # lr/10 over max_iterations)
+    warmup_steps: int = 0
     optimizer: str = "Adam"
     use_swa: bool = False
     swa_start: int = 0
@@ -87,11 +91,21 @@ def load_checkpoint(path: str, template: dict | None = None) -> dict:
 
 
 def make_optimizer(cfg: TrainConfig):
+    sched = cfg.lr
+    if cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if cfg.warmup_steps else cfg.lr,
+            peak_value=cfg.lr,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.max_iterations,
+            end_value=cfg.lr / 10.0)
+    elif cfg.lr_schedule:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule}")
     name = cfg.optimizer.lower()
     if name == "adam":
-        return optax.adam(cfg.lr)
+        return optax.adam(sched)
     if name == "sgd":
-        return optax.sgd(cfg.lr)
+        return optax.sgd(sched)
     raise ValueError(f"unknown optimizer {cfg.optimizer}")
 
 

@@ -228,3 +228,44 @@ def test_multihost_shard_samples(monkeypatch):
                  for i in range(3)]
     assert sorted(sum(all_parts, [])) == samples
     assert owns_sample(4, index=1, count=3)
+
+
+def test_cli_swa_and_val_interleave(config_file, exp_root):
+    """training.use_swa / swa_start / swa_freq / val_log_step reach the
+    trainer from the CLI (ref train.py:338-374, 498-534): the checkpoint
+    carries swa_params, prediction.use_swa predicts from them, and val_*
+    rows appear in train_log.jsonl."""
+    paths = cli.main([
+        "--config", config_file, "--root", exp_root, "-id", "swarun",
+        "--set", "training.max_iterations=60",
+        "--set", "training.checkpoints=60",
+        "--set", "training.use_swa=true",
+        "--set", "training.swa_start=20",
+        "--set", "training.swa_freq=10",
+        "--set", "training.val_log_step=30",
+        "--set", "training.snapshots=50",
+        "-d", "mknet", "train"])
+
+    from patchperpix_tpu.train.trainer import (checkpoint_path,
+                                               load_checkpoint)
+    state = load_checkpoint(checkpoint_path(paths["train"], 60))
+    assert "swa_params" in state and state["swa_n"] >= 2
+
+    with open(os.path.join(paths["train"], "train_log.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    val_rows = [r for r in rows if any(k.startswith("val_") for k in r)]
+    assert len(val_rows) == 2  # steps 30, 60
+
+    # training.snapshots reaches the trainer (was silently ignored)
+    assert os.path.exists(os.path.join(paths["train"], "snapshots",
+                                       "snapshot_50.hdf"))
+
+    # prediction.use_swa predicts from the averaged params without error
+    paths = cli.main([
+        "--config", config_file, "--root", exp_root, "-id", "swarun",
+        "--set", "prediction.use_swa=true",
+        "-d", "predict"])
+    import glob as _glob
+    preds = _glob.glob(os.path.join(paths["test_processed"], "60",
+                                    "*.zarr"))
+    assert preds
