@@ -695,8 +695,11 @@ def finalize_and_write(instances, fg_out, params: VoteInstancesParams,
         else:
             instances[fg_out == 0] = 0
 
+    # append mode: validate_checkpoints writes each param set's labels
+    # under a distinct res_key in the SAME file (per-param result keys,
+    # run_ppp.py:969-988), so earlier param sets' outputs survive
     out_path = os.path.join(result_folder, base + ".hdf")
-    out = vio.IoHDF5(out_path, mode="w")
+    out = vio.IoHDF5(out_path, mode="a")
     out.write(instances, key=params.res_key,
               attrs={"offset": (0, 0, 0), "resolution": (1, 1, 1)})
     out.write(fg_out.astype(np.uint8), key="vote_foreground",

@@ -309,9 +309,25 @@ def train(args, config, paths):
         min_masked=sampling.get("min_masked", 0.0),
         point_balance_radius=sampling.get("point_balance_radius", 0.0),
         augment=acfg)
-    sampler = CropSampler(samples, scfg)
-    pf = Prefetcher(sampler, cache_size=tr.get("cache_size", 8),
-                    with_partly=add_partly)
+    # device-resident pipeline (train/device_data.py): volumes uploaded to
+    # HBM once, sampling+augmentation inside the jitted step — no per-step
+    # H2D and a fused K-step scan.  Used when requested and the config's
+    # augmentations are reproducible on device.
+    pf = None
+    if tr.get("device_sampler", False):
+        from .train import DeviceSampler, device_sampler_supported
+
+        reason = device_sampler_supported(scfg)
+        if reason is None:
+            pf = DeviceSampler(samples, scfg)
+            logger.info("training with the device-resident sampler")
+        else:
+            logger.warning("device_sampler requested but config needs %s; "
+                           "falling back to the host prefetcher", reason)
+    if pf is None:
+        sampler = CropSampler(samples, scfg)
+        pf = Prefetcher(sampler, cache_size=tr.get("cache_size", 8),
+                        with_partly=add_partly)
 
     max_iter = 10 if args.debug_args else tr.get("max_iterations", 400002)
     tcfg = TrainConfig(
@@ -475,11 +491,17 @@ def label(args, config, paths, mode=None, checkpoint=None,
     params = VoteInstancesParams.from_config(vi_cfg,
                                              result_folder=out_dir)
     todo = []
-    for path in sorted(glob.glob(os.path.join(in_dir, "*.zarr"))):
+    # zarr + hdf prediction inputs (ref also labels hdf predictions,
+    # utilVoteInstances.py:136-170)
+    pred_paths = sorted(glob.glob(os.path.join(in_dir, "*.zarr"))
+                        + glob.glob(os.path.join(in_dir, "*.hdf")))
+    for path in pred_paths:
         s = os.path.splitext(os.path.basename(path))[0]
         if args.sample and s != args.sample:
             continue
         out_path = os.path.join(out_dir, s + ".hdf")
+        if os.path.abspath(out_path) == os.path.abspath(path):
+            continue
         if vio.check_file(out_path, keys=[params.res_key],
                           remove_on_error=True):
             logger.info("skipping %s (labelled)", s)
@@ -598,8 +620,12 @@ def infer_fused(args, config, paths, mode=None, checkpoint=None,
 
 
 @time_func
-def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
-    """Instance metrics per sample + CSV summary (run_ppp.py:1446-1536)."""
+def evaluate(args, config, paths, mode=None, checkpoint=None,
+             res_key=None) -> dict:
+    """Instance metrics per sample + CSV summary (run_ppp.py:1446-1536).
+
+    ``res_key`` overrides the hdf dataset read per sample — used by
+    validate_checkpoints' per-param result keys (run_ppp.py:969-988)."""
     from .evaluate import evaluate_file, summarize_metric_dict
 
     mode = mode or args.mode
@@ -612,7 +638,7 @@ def evaluate(args, config, paths, mode=None, checkpoint=None) -> dict:
     ev = config.get("evaluation", {})
 
     kwargs = dict(
-        res_key=ev.get("res_key", "vote_instances"),
+        res_key=res_key or ev.get("res_key", "vote_instances"),
         gt_key=data.get("gt_key", "volumes/gt_instances"),
         localization_criterion=ev.get("localization_criterion", "iou"),
         assignment_strategy=ev.get("assignment_strategy", "hungarian"),
@@ -707,25 +733,29 @@ def validate_checkpoints(args, config, paths, mode=None,
         vmode = "train"
     else:
         vmode = mode or "val"
+    base_res_key = config.get("evaluation", {}).get("res_key",
+                                                    "vote_instances")
     results = []
     for cp in checkpoints:
         predict(args, config, paths, mode=vmode, checkpoint=cp)
         decode(args, config, paths, mode=vmode, checkpoint=cp)
         for pi, pset in enumerate(param_sets):
+            # per-param result keys (run_ppp.py:969-988): each param set's
+            # labels live under their own res_key in the same hdf, so the
+            # best param set's outputs survive for the apply step instead
+            # of being deleted and recomputed
+            res_key = (base_res_key if len(param_sets) == 1
+                       else f"{base_res_key}_ps{pi}")
             label(args, config, paths, mode=vmode, checkpoint=cp,
-                  param_overrides=pset)
+                  param_overrides={**pset, "res_key": res_key})
             mdicts = evaluate(args, config, paths, mode=vmode,
-                              checkpoint=cp)
+                              checkpoint=cp, res_key=res_key)
             score = _metric_of(mdicts, metric_key)
             results.append({"checkpoint": cp, "params": pset,
+                            "res_key": res_key,
                             "metric": metric_key, "score": score})
             logger.info("checkpoint %s params %s -> %s = %.5f",
                         cp, pset, metric_key, score)
-            # clear instanced outputs so the next param set recomputes
-            if len(param_sets) > 1:
-                shutil.rmtree(os.path.join(paths[f"{vmode}_instanced"],
-                                           str(cp)),
-                              ignore_errors=True)
 
     best = max(results, key=lambda r: r["score"]) if results else None
     out = {"results": results, "best": best}

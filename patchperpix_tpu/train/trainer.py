@@ -110,7 +110,8 @@ def make_optimizer(cfg: TrainConfig):
 
 
 def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
-                    optimizer, mesh=None, raw_spec=None, labels_spec=None):
+                    optimizer, mesh=None, raw_spec=None, labels_spec=None,
+                    jit=True):
     """Returns jitted step(params, opt_state, raw, labels, rng) ->
     (params, opt_state, metrics).
 
@@ -200,6 +201,8 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
         _, mets = compute_losses(params, raw, labels, rng, partly)
         return mets
 
+    if not jit:
+        return step, eval_step
     if mesh is None:
         return jax.jit(step), jax.jit(eval_step)
 
@@ -225,6 +228,59 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     return step, eval_step
 
 
+def make_fused_chunk(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
+                     optimizer, dsampler, K: int):
+    """K train steps fused into ONE device dispatch via lax.scan, with the
+    batch sampled on device each step (DeviceSampler).  Zero per-step
+    host<->device traffic; SWA averaging runs inside the scan.
+
+    Returns jitted chunk(params, opt_state, swa_params, swa_n, rng, step0)
+    -> ((params, opt_state, swa_params, swa_n, rng), stacked metrics (K,)).
+    ``step0`` is a device scalar (the global step before the chunk) so
+    repeated chunks hit the same compiled executable."""
+    step, _ = make_train_step(model, mcfg, tcfg, optimizer, jit=False)
+    use_swa = tcfg.use_swa
+    add_partly = tcfg.add_partly
+
+    def chunk(params, opt_state, swa_params, swa_n, rng, step0):
+        def body(carry, i):
+            params, opt_state, swa_params, swa_n, rng = carry
+            rng, r1, r2 = jax.random.split(rng, 3)
+            raw, labels, partly = dsampler.sample_batch(r1)
+            args = (params, opt_state, raw.astype(jnp.float32), labels, r2)
+            if add_partly:
+                args = args + (partly,)
+            params, opt_state, mets = step(*args)
+            if use_swa:
+                gstep = step0 + i + 1
+                since = gstep - tcfg.swa_start
+                do = (since >= 0) & (since % max(tcfg.swa_freq, 1) == 0)
+                swa_n = swa_n + jnp.where(do, 1, 0)
+                swa_params = jax.tree.map(
+                    lambda a, p: jnp.where(
+                        do, a + (p - a) / jnp.maximum(swa_n, 1), a),
+                    swa_params, params)
+            return (params, opt_state, swa_params, swa_n, rng), mets
+
+        carry = (params, opt_state, swa_params, swa_n, rng)
+        carry, mets = jax.lax.scan(body, carry, jnp.arange(K))
+        return carry, mets
+
+    return jax.jit(chunk, donate_argnums=(0, 1, 2))
+
+
+def _chunk_size(tcfg: TrainConfig) -> int:
+    """Largest K that hits every host-side interval boundary exactly."""
+    import math
+
+    K = math.gcd(max(tcfg.log_every, 1), max(tcfg.checkpoints, 1))
+    if tcfg.snapshots:
+        K = math.gcd(K, tcfg.snapshots)
+    if tcfg.val_log_step:
+        K = math.gcd(K, tcfg.val_log_step)
+    return max(K, 1)
+
+
 def make_data_mesh(num_devices: int | None = None, backend: str | None = None):
     """1-D data-parallel mesh over the available devices (axis "dp")."""
     from jax.sharding import Mesh
@@ -245,7 +301,17 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
 
     ``mesh``: optional jax.sharding.Mesh for data-parallel training — the
     batch is sharded over the mesh's first axis, params/opt replicated, and
-    the jitted step all-reduces grads over ICI (make_train_step)."""
+    the jitted step all-reduces grads over ICI (make_train_step).
+
+    ``prefetcher`` may be a host Prefetcher OR a DeviceSampler — the
+    latter routes to the fused device-resident loop (zero per-step
+    host<->device traffic, K steps per dispatch)."""
+    from .device_data import DeviceSampler
+
+    if isinstance(prefetcher, DeviceSampler):
+        return _train_until_device(model, mcfg, tcfg, prefetcher,
+                                   val_batch_fn=val_batch_fn,
+                                   rng_seed=rng_seed)
     os.makedirs(tcfg.output_folder, exist_ok=True)
     rng = jax.random.PRNGKey(rng_seed)
     optimizer = make_optimizer(tcfg)
@@ -402,4 +468,156 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     if tb_writer is not None:
         tb_writer.close()
     state.update(params=params, opt_state=opt_state, step=step)
+    return state
+
+
+def _train_until_device(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
+                        dsampler, val_batch_fn=None,
+                        rng_seed: int = 42) -> dict:
+    """Fused device-resident training loop (DeviceSampler path).
+
+    The volumes live in HBM; each dispatch runs K = gcd(intervals) steps
+    via lax.scan with on-device sampling/augmentation (make_fused_chunk).
+    Host work per chunk: one small metrics readback.  This is the
+    TPU-native shape of the reference's 400k-iteration runs
+    (train.py:552-572) — the host never touches a batch."""
+    os.makedirs(tcfg.output_folder, exist_ok=True)
+    rng = jax.random.PRNGKey(rng_seed)
+    optimizer = make_optimizer(tcfg)
+
+    rng, init_rng, data_rng = jax.random.split(rng, 3)
+    raw0, _, _ = jax.jit(dsampler.sample_batch)(data_rng)
+    params = model.init(init_rng, raw0, method=PPPModel.full_init)
+    opt_state = optimizer.init(params)
+    state = {"params": params, "opt_state": opt_state, "step": 0}
+    if tcfg.use_swa:
+        state["swa_params"] = jax.tree.map(jnp.copy, params)
+        state["swa_n"] = 0
+
+    latest, latest_step = get_latest_checkpoint(tcfg.output_folder)
+    if latest is not None:
+        logger.info("resuming from %s", latest)
+        state = load_checkpoint(latest, state)
+        state["step"] = latest_step
+
+    params, opt_state = state["params"], state["opt_state"]
+    step = int(state["step"])
+    if tcfg.use_swa:
+        swa_params = state["swa_params"]
+        swa_n = jnp.asarray(int(state.get("swa_n", 0)), jnp.int32)
+    else:
+        swa_params = jnp.zeros(())  # dummy carried through the scan
+        swa_n = jnp.asarray(0, jnp.int32)
+
+    K = _chunk_size(tcfg)
+    chunk_fns = {K: make_fused_chunk(model, mcfg, tcfg, optimizer,
+                                     dsampler, K)}
+    _, eval_fn = make_train_step(model, mcfg, tcfg, optimizer)
+
+    log_path = os.path.join(tcfg.output_folder, "train_log.jsonl")
+    log_f = open(log_path, "a")
+    tb_writer = None
+    if tcfg.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(os.path.join(tcfg.output_folder, "tb"))
+        except Exception:
+            tb_writer = None
+
+    def log_mets(mets_row: dict, at_step: int, wall: float):
+        mets_row = {k: float(v) for k, v in mets_row.items()}
+        mets_row.update(step=at_step, wall=wall)
+        log_f.write(json.dumps(mets_row) + "\n")
+        log_f.flush()
+        if tb_writer is not None:
+            for k, v in mets_row.items():
+                if k not in ("step", "wall"):
+                    tb_writer.add_scalar(f"train/{k}", v, at_step)
+        logger.info("step %d loss %.5f (patch %.5f fg %.5f)", at_step,
+                    mets_row["loss"], mets_row["loss_patch"],
+                    mets_row["loss_fg"])
+
+    snap_fwd = None
+    t0 = time.time()
+    first = step == 0
+    while step < tcfg.max_iterations:
+        k = min(K, tcfg.max_iterations - step)
+        if k not in chunk_fns:  # tail chunk gets its own executable
+            chunk_fns[k] = make_fused_chunk(model, mcfg, tcfg, optimizer,
+                                            dsampler, k)
+        rng, chunk_rng = jax.random.split(rng)
+        (params, opt_state, swa_params, swa_n, _), mets = \
+            chunk_fns[k](params, opt_state, swa_params, swa_n, chunk_rng,
+                         jnp.asarray(step, jnp.int32))
+        step += k
+        mets = {mk: np.asarray(v) for mk, v in mets.items()}
+        if first:
+            log_mets({mk: v[0] for mk, v in mets.items()}, step - k + 1,
+                     time.time() - t0)
+            first = False
+        if step % tcfg.log_every == 0:
+            log_mets({mk: v[-1] for mk, v in mets.items()}, step,
+                     time.time() - t0)
+
+        if tcfg.val_log_step and step % tcfg.val_log_step == 0 \
+                and val_batch_fn is not None:
+            b = val_batch_fn()
+            vraw, vlabels = jnp.asarray(b[0]), jnp.asarray(b[1])
+            rng, vrng = jax.random.split(rng)
+            vargs = (params, vraw, vlabels, vrng)
+            if tcfg.add_partly:
+                vpartly = (jnp.asarray(b[2]) if len(b) > 2 else
+                           jnp.zeros(vraw.shape[0], bool))
+                vargs = vargs + (vpartly,)
+            vmets = eval_fn(*vargs)
+            vmets = {f"val_{mk}": float(v) for mk, v in vmets.items()}
+            vmets["step"] = step
+            log_f.write(json.dumps(vmets) + "\n")
+            log_f.flush()
+            if tb_writer is not None:
+                for mk, v in vmets.items():
+                    if mk != "step":
+                        tb_writer.add_scalar(f"val/{mk[4:]}", v, step)
+
+        if tcfg.snapshots and step % tcfg.snapshots == 0:
+            import h5py
+
+            rng, srng = jax.random.split(rng)
+            raw, labels, _ = jax.jit(dsampler.sample_batch)(srng)
+            if snap_fwd is None:
+                snap_fwd = jax.jit(model.apply)
+            h1, h2 = snap_fwd(params, raw)
+            snap_dir = os.path.join(tcfg.output_folder, "snapshots")
+            os.makedirs(snap_dir, exist_ok=True)
+            with h5py.File(os.path.join(
+                    snap_dir, f"snapshot_{step}.hdf"), "w") as f:
+                f.create_dataset("volumes/raw", data=np.asarray(raw),
+                                 compression="gzip")
+                f.create_dataset("volumes/gt_labels",
+                                 data=np.asarray(labels),
+                                 compression="gzip")
+                f.create_dataset("volumes/pred_head1",
+                                 data=np.asarray(h1, dtype=np.float16),
+                                 compression="gzip")
+                f.create_dataset("volumes/pred_head2",
+                                 data=np.asarray(h2, dtype=np.float16),
+                                 compression="gzip")
+
+        if step % tcfg.checkpoints == 0 or step == tcfg.max_iterations:
+            state.update(params=params, opt_state=opt_state, step=step)
+            if tcfg.use_swa:
+                state["swa_params"] = swa_params
+                state["swa_n"] = int(swa_n)
+            path = checkpoint_path(tcfg.output_folder, step)
+            save_checkpoint(path, state)
+            logger.info("saved checkpoint %s", path)
+
+    log_f.close()
+    if tb_writer is not None:
+        tb_writer.close()
+    state.update(params=params, opt_state=opt_state, step=step)
+    if tcfg.use_swa:
+        state["swa_params"] = swa_params
+        state["swa_n"] = int(swa_n)
     return state

@@ -48,9 +48,14 @@ class IoZarr:
 
     def _open(self, key: str):
         if key not in self._arrays:
-            self._arrays[key] = ts.open(
-                _zarr_spec(self.path, key),
-                read=True, write=(self.mode != "r")).result()
+            try:
+                self._arrays[key] = ts.open(
+                    _zarr_spec(self.path, key),
+                    read=True, write=(self.mode != "r")).result()
+            except Exception as e:  # normalize missing-dataset to KeyError
+                if "NOT_FOUND" in str(e) and self.mode == "r":
+                    raise KeyError(key) from e
+                raise
         return self._arrays[key]
 
     def shape(self, key: str):
@@ -149,6 +154,9 @@ class IoHDF5:
     def write(self, out: np.ndarray, bb=None, key: str | None = None,
               compression="gzip", attrs=None):
         key = key or self.keys[0]
+        if key in self._f and bb is None \
+                and self._f[key].shape != np.shape(out):
+            del self._f[key]  # full rewrite with a different shape
         if key not in self._f:
             if bb is not None:
                 raise ValueError("create dataset before windowed writes")
@@ -227,12 +235,26 @@ def check_file(path: str, keys=None, remove_on_error: bool = False) -> bool:
         return False
     try:
         io = open_volume(path, mode="r")
+    except Exception:
+        # unopenable = corrupt -> optionally delete so the stage reruns
+        if remove_on_error:
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+        return False
+    try:
         if keys:
             for k in ([keys] if isinstance(keys, str) else keys):
-                s = io.shape(k)
+                try:
+                    s = io.shape(k)
+                except KeyError:
+                    # readable file, key simply absent (e.g. another param
+                    # set's res_key not written yet) -> incomplete, but NOT
+                    # corrupt: keep the file and its other keys
+                    return False
                 # touch one element
                 io.read(bb=tuple(slice(0, 1) for _ in s[1:]), key=k)
-        io.close()
         return True
     except Exception:
         if remove_on_error:
@@ -241,6 +263,11 @@ def check_file(path: str, keys=None, remove_on_error: bool = False) -> bool:
             else:
                 os.remove(path)
         return False
+    finally:
+        try:
+            io.close()
+        except Exception:
+            pass
 
 
 def write_nrrd(path: str, arr: np.ndarray):

@@ -269,3 +269,57 @@ def test_cli_swa_and_val_interleave(config_file, exp_root):
     preds = _glob.glob(os.path.join(paths["test_processed"], "60",
                                     "*.zarr"))
     assert preds
+
+
+def test_validate_multi_param_res_keys(trained, config_file, exp_root):
+    """Per-param result keys (run_ppp.py:969-988): with >1 param set each
+    set's labels are written under their own res_key in the SAME instanced
+    hdf, so the best set's outputs survive (no delete-and-recompute)."""
+    paths = cli.main([
+        "--config", config_file, "--root", exp_root, "-id", "testrun",
+        "--set", "validation.patch_threshold=[0.5,0.7]",
+        "-d", "validate_checkpoints"])
+    with open(os.path.join(paths["base"], "results.json")) as f:
+        res = json.load(f)
+    assert len(res["results"]) == 2
+    keys = {r["res_key"] for r in res["results"]}
+    assert keys == {"vote_instances_ps0", "vote_instances_ps1"}
+    inst = os.path.join(paths["val_instanced"], "120")
+    hdfs = sorted(p for p in os.listdir(inst) if p.endswith(".hdf"))
+    assert hdfs
+    io = vio.IoHDF5(os.path.join(inst, hdfs[0]), mode="r")
+    a = io.read(key="vote_instances_ps0")
+    b = io.read(key="vote_instances_ps1")
+    io.close()
+    assert a.shape == b.shape
+
+
+def test_label_hdf_prediction_input(trained, config_file, exp_root):
+    """label also consumes .hdf prediction files
+    (utilVoteInstances.py:136-170)."""
+    paths = cli.main(["--config", config_file, "--root", exp_root,
+                      "-id", "testrun", "-d", "predict", "--mode", "test"])
+    proc = os.path.join(paths["test_processed"], "120")
+    zarrs = sorted(p for p in os.listdir(proc) if p.endswith(".zarr"))
+    # convert one prediction to hdf under a fresh fake checkpoint dir
+    proc2 = os.path.join(paths["test_processed"], "121")
+    os.makedirs(proc2, exist_ok=True)
+    z = vio.IoZarr(os.path.join(proc, zarrs[0]), mode="r")
+    out = vio.IoHDF5(os.path.join(
+        proc2, zarrs[0].replace(".zarr", ".hdf")), mode="w")
+    for k in ("volumes/pred_affs", "volumes/pred_fgbg"):
+        try:
+            out.write(z.read(key=k), key=k)
+        except KeyError:
+            pass
+    out.close()
+    paths = cli.main(["--config", config_file, "--root", exp_root,
+                      "-id", "testrun", "--checkpoint", "121",
+                      "-d", "label", "--mode", "test"])
+    inst = os.path.join(paths["test_instanced"], "121")
+    hdfs = [p for p in os.listdir(inst) if p.endswith(".hdf")]
+    assert len(hdfs) == 1
+    io = vio.IoHDF5(os.path.join(inst, hdfs[0]), mode="r")
+    outv = io.read(key="vote_instances")
+    io.close()
+    assert outv.max() >= 1
