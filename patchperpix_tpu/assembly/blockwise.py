@@ -280,9 +280,18 @@ def compute_blocks(
     block_results: dict | None = None,
     store: str | None = None,
     num_parallel_blocks: int = 1,
+    block_devices: int = 0,
 ) -> dict:
     """Per-block intermediates: {offset key: (pairs_global, weights, key)
-    or None}.  Resumes from ``block_results`` and/or the on-disk ``store``."""
+    or None}.  Resumes from ``block_results`` and/or the on-disk ``store``.
+
+    ``block_devices`` distributes blocks over the device mesh (0/1 = single
+    device, -1 = all available): worker thread i pins its blocks to device
+    i via ``jax.default_device``, so the per-block consensus/rank/cover/
+    graph programs of different blocks execute CONCURRENTLY on different
+    chips — the multi-chip composition of the blockwise path (SURVEY §2.6
+    spatial-block row; the reference serializes per-block CUDA runs with an
+    mp.Lock, stitch_patch_graph.py:553-669)."""
     ps = np.asarray(params.patchshape, dtype=np.int64)
     rad = ps // 2
     vol_shape = np.array(fg.shape)
@@ -344,7 +353,41 @@ def compute_blocks(
 
     todo = [off for off in offsets
             if tuple(int(o) for o in off) not in block_results]
-    if num_parallel_blocks > 1 and len(todo) > 1:
+
+    devices = None
+    if block_devices and block_devices != 1:
+        import jax
+
+        devices = jax.devices()
+        if block_devices > 0:
+            devices = devices[:block_devices]
+        if len(devices) > 1:
+            num_parallel_blocks = max(num_parallel_blocks, len(devices))
+        else:
+            devices = None
+
+    if devices is not None and len(todo) > 1:
+        # round-robin blocks over devices; each worker thread enters a
+        # thread-local jax.default_device scope so its block's programs
+        # compile for and run on its own chip
+        import threading
+
+        import jax
+
+        lock = threading.Lock()
+        dev_iter = iter(range(len(todo)))
+
+        def run_on_device(off):
+            with lock:
+                i = next(dev_iter)
+            dev = devices[i % len(devices)]
+            with jax.default_device(dev):
+                return run_block(off)
+
+        with ThreadPoolExecutor(max_workers=len(devices)) as ex:
+            for key, res in ex.map(run_on_device, todo):
+                block_results[key] = res
+    elif num_parallel_blocks > 1 and len(todo) > 1:
         with ThreadPoolExecutor(max_workers=num_parallel_blocks) as ex:
             for key, res in ex.map(run_block, todo):
                 block_results[key] = res
@@ -387,7 +430,8 @@ def blockwise_vote_instances(
     block_results = compute_blocks(
         reader, fg, mask_to_cover, numinst, params, chunksize,
         block_results=block_results, store=store,
-        num_parallel_blocks=params.num_parallel_blocks)
+        num_parallel_blocks=params.num_parallel_blocks,
+        block_devices=params.block_devices)
     instances = stitch_blocks(reader, fg, numinst, block_results, params)
     return instances, fg.astype(np.uint8)
 
@@ -428,7 +472,8 @@ def blockwise_vote_instances_zarr(
 
     block_results = compute_blocks(
         reader, fg, mask_to_cover, numinst, params, chunksize,
-        store=store, num_parallel_blocks=params.num_parallel_blocks)
+        store=store, num_parallel_blocks=params.num_parallel_blocks,
+        block_devices=params.block_devices)
     instances = stitch_blocks(reader, fg, numinst, block_results, params)
     reader.close()
     return instances, fg.astype(np.uint8)

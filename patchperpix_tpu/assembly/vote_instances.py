@@ -117,6 +117,10 @@ class VoteInstancesParams:
     only_bb: bool = True
     num_parallel_blocks: int = 1
     num_parallel_samples: int = 1
+    block_devices: int = 0     # >1 (or -1 = all): distribute blockwise
+                               # blocks over the device mesh round-robin
+                               # (blockwise.compute_blocks) so per-block
+                               # assembly runs concurrently across chips
     sharded_devices: int = 0   # >1 (or -1 = all): z-shard consensus+rank
                                # over a device mesh with ICI halo exchange
                                # (parallel/sharded.py); bit-identical to

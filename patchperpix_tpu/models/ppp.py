@@ -111,6 +111,9 @@ class PPPConfig:
             ae_num_repetitions=ae.get("num_repetitions", 2),
             ae_upsampling=ae.get("upsampling", "resize_conv"),
             num_code_samples=ae.get("num_code_samples", 1024),
+            # AMP: "bfloat16" runs convs/matmuls in bf16 on the MXU with
+            # f32 params (ref train.py:552-572 torch autocast)
+            dtype=cfg.get("dtype", "float32"),
         )
 
 

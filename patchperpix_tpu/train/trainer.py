@@ -126,6 +126,10 @@ def make_train_step(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
 
     def compute_losses(params, raw, labels, rng, partly=None):
         h1, h2 = model.apply(params, raw)
+        # AMP (ref train.py:552-572 autocast): convs run in cfg.dtype
+        # (e.g. bfloat16 on the MXU), losses always accumulate in f32
+        h1 = h1.astype(jnp.float32)
+        h2 = h2.astype(jnp.float32)
         out_sp = h1.shape[2:]
         ndim = len(out_sp)
         rad = tuple(p // 2 for p in ps)

@@ -206,3 +206,45 @@ def test_blockwise_matches_whole_volume_border_fg():
     assert len(pairs) == 2
     # block coverage must be a superset of the whole-volume coverage
     assert not ((wl > 0) & (bl == 0)).any()
+
+
+def test_blockwise_block_devices_distributes_and_matches():
+    """block_devices=-1 distributes blocks over the 8-virtual-device mesh
+    (each worker thread pins a device via jax.default_device) and the
+    stitched output is unchanged (SURVEY §2.6 spatial-block row)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    labels, affs, fg = _case_3d()
+    params = VoteInstancesParams(patchshape=(3, 3, 3), engine="jax",
+                                 removeIntersection=False)
+    ref_out, _ = blockwise_vote_instances(
+        affs, fg, fg.astype(np.uint8), params, chunksize=(14, 14, 14))
+    ref_out[~fg] = 0
+
+    used = []
+    real_default_device = jax.default_device
+
+    class _Recorder:
+        def __call__(self, dev):
+            used.append(dev)
+            return real_default_device(dev)
+
+    jax.default_device = _Recorder()
+    try:
+        params_md = VoteInstancesParams(
+            patchshape=(3, 3, 3), engine="jax", removeIntersection=False,
+            block_devices=-1)
+        out, _ = blockwise_vote_instances(
+            affs, fg, fg.astype(np.uint8), params_md,
+            chunksize=(14, 14, 14))
+    finally:
+        jax.default_device = real_default_device
+    out[~fg] = 0
+
+    assert len({str(d) for d in used}) > 1  # blocks spread over devices
+    wl, bl = relabel(ref_out), relabel(out)
+    pairs = set(zip(wl[fg].tolist(), bl[fg].tolist()))
+    assert len(pairs) == len(np.unique(wl[fg]))

@@ -329,3 +329,34 @@ def test_prefetcher_propagates_sampler_error():
     with pytest.raises(RuntimeError, match="sampler thread failed"):
         pf.next()
     pf.stop()
+
+
+def test_bf16_amp_trains_and_matches_f32_direction(tmp_path):
+    """model.dtype="bfloat16" (ref AMP train.py:552-572): losses stay f32
+    and finite, params update, and the first-step loss matches f32 within
+    bf16 tolerance."""
+    import dataclasses
+
+    mcfg32 = _model_cfg(False)
+    mcfg16 = dataclasses.replace(mcfg32, dtype="bfloat16")
+    s = _sampler_same_padding()
+    raw, labels = s.batch(max_gt_channels=4)
+
+    losses = {}
+    for name, mcfg in (("f32", mcfg32), ("bf16", mcfg16)):
+        model = PPPModel(mcfg)
+        tcfg = TrainConfig(lr=1e-3)
+        optimizer = make_optimizer(tcfg)
+        step_fn, _ = make_train_step(model, mcfg, tcfg, optimizer)
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, jnp.asarray(raw),
+                            method=PPPModel.full_init)
+        opt_state = optimizer.init(params)
+        params2, _, mets = step_fn(params, opt_state, jnp.asarray(raw),
+                                   jnp.asarray(labels), rng)
+        losses[name] = float(mets["loss"])
+        assert np.isfinite(losses[name])
+        # params are still f32 (AMP keeps master weights in f32)
+        leaf = jax.tree.leaves(params2)[0]
+        assert leaf.dtype == jnp.float32
+    assert losses["bf16"] == pytest.approx(losses["f32"], rel=0.05)
