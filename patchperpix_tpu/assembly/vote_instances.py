@@ -117,6 +117,10 @@ class VoteInstancesParams:
     only_bb: bool = True
     num_parallel_blocks: int = 1
     num_parallel_samples: int = 1
+    vote_debug: bool = False   # write tiled patch canvas + graph-edge
+                               # canvas to the result hdf (reference
+                               # debug volumes, vote_instances.py:270-274,
+                               # graph_to_labeling.py:118-137)
     block_devices: int = 0     # >1 (or -1 = all): distribute blockwise
                                # blocks over the device mesh round-robin
                                # (blockwise.compute_blocks) so per-block
@@ -644,6 +648,7 @@ def _do_all_inner(aff_file: str, params: VoteInstancesParams,
             oracle = oracle[None]
         params = replace(params, oracle_scores=oracle)
 
+    debug_canvases = None
     if params.blockwise:
         # blockwise + stitching path (stitch_patch_graph.py:553-669):
         # streams blocks from the prediction file (out-of-core) and
@@ -656,6 +661,27 @@ def _do_all_inner(aff_file: str, params: VoteInstancesParams,
     else:
         affs, numinst, foreground = load_affinities(aff_file, params)
         mask = foreground.copy()
+        if params.vote_debug:
+            # compute pairs/weights once, render the reference's debug
+            # volumes, then label from the precomputed intermediates
+            from dataclasses import replace
+
+            from .debug_viz import render_graph_edges, render_patch_tiles
+
+            pairs, weights = to_instance_seg(
+                affs, foreground, mask.copy(), numinst,
+                replace(params, return_intermediates=True))
+            tiles = render_patch_tiles(np.asarray(affs), foreground,
+                                       params.patchshape)
+            if pairs is not None:
+                edges = render_graph_edges(pairs, np.asarray(weights),
+                                           foreground.shape,
+                                           params.patchshape)
+                params = replace(params, selected_patch_pairs=pairs,
+                                 aff_graph=np.asarray(weights))
+            else:
+                edges = np.zeros_like(tiles)
+            debug_canvases = {"vote_debug": tiles, "vote_debug2": edges}
         if params.store_intermediates:
             # 2-phase with .npy persistence + resume
             # (aff_patch_graph.py:96-110): pairs/graph computed once,
@@ -681,11 +707,12 @@ def _do_all_inner(aff_file: str, params: VoteInstancesParams,
                                             numinst, params)
     base = os.path.splitext(os.path.basename(aff_file))[0]
     return finalize_and_write(instances, fg_out, params, base,
-                              result_folder)
+                              result_folder, extra_keys=debug_canvases)
 
 
 def finalize_and_write(instances, fg_out, params: VoteInstancesParams,
-                       base: str, result_folder: str) -> str:
+                       base: str, result_folder: str,
+                       extra_keys: dict | None = None) -> str:
     """Small-component removal, fg crop, and hdf output
     (vote_instances.py:521-554); shared by do_all and the fused CLI path."""
     instances = np.asarray(instances)
@@ -708,5 +735,7 @@ def finalize_and_write(instances, fg_out, params: VoteInstancesParams,
               attrs={"offset": (0, 0, 0), "resolution": (1, 1, 1)})
     out.write(fg_out.astype(np.uint8), key="vote_foreground",
               attrs={"offset": (0, 0, 0), "resolution": (1, 1, 1)})
+    for k, v in (extra_keys or {}).items():
+        out.write(np.asarray(v), key=k)
     out.close()
     return out_path

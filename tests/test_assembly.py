@@ -261,3 +261,33 @@ def test_postprocess_instances_and_nrrd(tmp_path):
     sk = read_nrrd(str(tmp_path / "s_1.nrrd"))
     assert sk.shape == (12, 12, 12)
     assert sk.sum() > 0
+
+
+def test_do_all_vote_debug_canvases(tmp_path):
+    """vote_debug writes the reference's tiled patch canvas + graph-edge
+    canvas (vote_instances.py:270-274, graph_to_labeling.py:118-137) into
+    the result hdf, with the same instance map as a non-debug run."""
+    labels, affs, fg = _setup_case()
+    import h5py
+    pred = tmp_path / "sample.hdf"
+    with h5py.File(pred, "w") as f:
+        f.create_dataset("volumes/pred_affs", data=affs)
+    params = VoteInstancesParams(patchshape=(1, 5, 5),
+                                 numinst_key=None, fg_key=None,
+                                 vote_debug=True,
+                                 result_folder=str(tmp_path))
+    out = do_all(str(pred), params)
+    with h5py.File(out, "r") as f:
+        inst = f["vote_instances"][()]
+        tiles = f["vote_debug"][()]
+        edges = f["vote_debug2"][()]
+    assert len(np.unique(inst[inst > 0])) == 2
+    H, W = fg.shape[-2:]
+    assert tiles.shape == (5 * H, 5 * W)
+    assert edges.shape == (5 * H, 5 * W)
+    # grid lines painted at tile boundaries
+    assert (tiles[::5, :] == 2.0).all()
+    # a foreground voxel's tile carries its patch values (some nonzero
+    # interior), and at least one graph edge was drawn
+    assert tiles[tiles != 2.0].max() > 0
+    assert edges.max() > 0
