@@ -375,6 +375,16 @@ def to_instance_seg(
     elif sharded_scores is not None:
         with _stage_trace("rank"):
             scores = np.asarray(sharded_scores)
+    elif use_pallas:
+        # pallas rank consumes the symmetrized consensus the pallas
+        # consensus kernel emitted (same grid/banded streaming; replaces
+        # the P sequential XLA-scan steps)
+        from ..ops.pallas_consensus import rank_scores_pallas
+
+        with _stage_trace("rank"):
+            scores = np.asarray(rank_scores_pallas(
+                pred_affs_dev, cons, ccfg, overlap=overlap_arg,
+                center_valid=cv_arg))
     elif use_jax:
         with _stage_trace("rank"):
             scores = np.asarray(rank_scores(pred_affs_dev, cons, ccfg,

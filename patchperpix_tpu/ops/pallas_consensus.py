@@ -277,3 +277,187 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
     if with_counts:
         return res[0], res[1]
     return res[0]
+
+
+# ---------------------------------------------------------------------------
+# rank kernel
+# ---------------------------------------------------------------------------
+#
+# rankPatches.cu:1-161 semantics via the symmetrized consensus S:
+#
+#   score[c] = 1/2 * sum_{d != 0} sum_{q in band(d)}
+#                w(q, q+d)(c) * S[d][c + q - rad]
+#   w(q, r)  = hi_q hi_r - (hi_q lo_r + lo_q hi_r)      (symmetric)
+#
+# The XLA-scan rank (consensus_jax.rank_scores) pays P sequential scan
+# steps each touching a (P, vol) block; here the sum is banded exactly
+# like the consensus kernel (same grid, same operand streaming), the
+# lex-ordered half-sum is recovered by the ordered double-counting of the
+# symmetric S (w symmetric + S_sym[-d][x+d] = S_sym[d][x] => every
+# unordered pair contributes twice with the same value; halve at the end).
+# In target-aligned coordinates x = c + q - rad the masks become window
+# reads of the SAME G stacks the consensus kernel streams: left (margin
+# rad), right (margin rad + ps - 1), plus S spatially padded by rad.
+
+
+def _rank_kernel(hi_l, lo_l, hi_r, lo_r, s_pad, score_ref, score_s,
+                 *, ps, th, n_dz, n_dx, Y, X, int_counter):
+    psz, psy, psx = ps
+    dz = pl.program_id(1)
+    qz = pl.program_id(2)
+    qz2 = qz + dz - (psz - 1)
+
+    @pl.when((dz == 0) & (qz == 0))
+    def _init():
+        score_s[...] = jnp.zeros_like(score_s)
+
+    valid_z = (qz2 >= 0) & (qz2 < psz)
+
+    @pl.when(valid_z)
+    def _compute():
+        def dy_body(dyi, _):
+            dy = dyi - (psy - 1)
+            qy_lo = jnp.maximum(0, -dy)
+            qy_hi = jnp.minimum(psy, psy - dy)
+
+            for k in range(n_dx):          # static unroll
+                dx = k - (psx - 1)
+                qx_lo = max(0, -dx)
+                qx_hi = min(psx, psx - dx)
+
+                def qy_body(qy, acc):
+                    q2y = qy + dy
+                    for qx in range(qx_lo, qx_hi):  # static unroll
+                        q2x = qx + dx
+                        lsl = (0, qy, qx, 0, pl.ds(qy, Y),
+                               slice(qx, qx + X))
+                        rsl = (0, q2y, q2x, 0, pl.ds(qy + dyi, Y),
+                               slice(qx + k, qx + k + X))
+                        ssl = (0, dyi, k, 0, pl.ds(qy, Y),
+                               slice(qx, qx + X))
+                        hl = hi_l[lsl]
+                        ll = lo_l[lsl]
+                        hr = hi_r[rsl]
+                        lr = lo_r[rsl]
+                        s = s_pad[ssl].astype(jnp.float32)
+                        w_hh = hl * hr
+                        w_hl = hl * lr + ll * hr
+                        if int_counter:
+                            sgn = jnp.sign(s)
+                            pos_v = jnp.where(s != 0, sgn, -1.0)
+                            neg_v = jnp.where(s != 0, sgn, 1.0)
+                            contrib = w_hh * pos_v - w_hl * neg_v
+                        else:
+                            contrib = (w_hh - w_hl) * s
+                        acc = acc + contrib
+                    return acc
+
+                acc = jax.lax.fori_loop(
+                    qy_lo, qy_hi, qy_body, jnp.zeros((Y, X), jnp.float32))
+                if dx == 0:
+                    # d == 0 <=> r == q: self-pairs excluded (q != r)
+                    spm = jnp.logical_not(
+                        (qz2 == qz) & (dy == 0)).astype(jnp.float32)
+                    acc = acc * spm
+                score_s[...] += acc
+            return ()
+
+        jax.lax.fori_loop(0, 2 * psy - 1, dy_body, ())
+
+    @pl.when((dz == n_dz - 1) & (qz == psz - 1))
+    def _finish():
+        # ordered double-count over the symmetric S: halve
+        score_ref[0, ...] = 0.5 * score_s[...]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def rank_scores_pallas(affs: jnp.ndarray, cons_sym: jnp.ndarray,
+                       cfg: ConsensusConfig,
+                       overlap: jnp.ndarray | None = None,
+                       center_valid: jnp.ndarray | None = None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Per-voxel patch agreement score via the Pallas kernel.
+
+    ``cons_sym`` must be the SYMMETRIZED consensus in neighborhood-major
+    layout (ndz, ndy, ndx, Z, Y, X) — exactly what consensus_array_pallas
+    returns.  Matches consensus_jax.rank_scores (same sentinels/gating)."""
+    ps = np.asarray(cfg.ps)
+    assert len(ps) == 3, "pallas rank expects 3D patchshapes"
+    psz, psy, psx = (int(p) for p in ps)
+    rad = ps // 2
+    Z, Y, X = (int(s) for s in affs.shape[1:])
+    neigh = tuple(int(n) for n in cfg.neigh)
+    n_dz, n_dy, n_dx = neigh
+    assert n_dx <= _MAX_NDX_UNROLL, "dx unroll budget exceeded"
+
+    hi, lo, tgt = _masks(affs, cfg, overlap, center_valid)
+
+    rm = tuple(int(r + p - 1) for r, p in zip(rad, ps))
+    radt = tuple(int(r) for r in rad)
+    L = [_target_aligned(t, ps, radt) for t in (hi, lo)]
+    R = [_target_aligned(t, ps, rm) for t in (hi, lo)]
+    s_pad = jnp.pad(cons_sym,
+                    [(0, 0)] * 3 + [(r, r) for r in radt])
+
+    grid = (Z, n_dz, psz)
+
+    def left_map(z, dz, qz):
+        return (qz, 0, 0, z + qz, 0, 0)
+
+    def right_map(z, dz, qz):
+        rz = jnp.clip(qz + dz - (psz - 1), 0, psz - 1)
+        return (rz, 0, 0, z + qz + dz, 0, 0)
+
+    def s_map(z, dz, qz):
+        return (dz, 0, 0, z + qz, 0, 0)
+
+    def out_map(z, dz, qz):
+        return (z, 0, 0)
+
+    mz, my, mx = radt
+    mzr, myr, mxr = rm
+    in_l = pl.BlockSpec((1, psy, psx, 1, Y + 2 * my, X + 2 * mx),
+                        left_map, memory_space=pltpu.VMEM)
+    in_r = pl.BlockSpec((1, psy, psx, 1, Y + 2 * myr, X + 2 * mxr),
+                        right_map, memory_space=pltpu.VMEM)
+    in_s = pl.BlockSpec((1, n_dy, n_dx, 1, Y + 2 * my, X + 2 * mx),
+                        s_map, memory_space=pltpu.VMEM)
+    out_b = pl.BlockSpec((1, Y, X), out_map, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _rank_kernel, ps=(psz, psy, psx), th=float(cfg.patch_threshold),
+        n_dz=n_dz, n_dx=n_dx, Y=Y, X=X,
+        int_counter=bool(cfg.rank_int_counter))
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_l, in_l, in_r, in_r, in_s],
+        out_specs=out_b,
+        out_shape=jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Y, X), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(L[0], L[1], R[0], R[1], s_pad)
+
+    # fgCnt + center gating + sentinel (rankPatches.cu:139; identical to
+    # consensus_jax.rank_scores) — cheap vectorized XLA epilogue
+    vol_shape = (Z, Y, X)
+    n_tgt = jnp.sum(tgt, axis=0)
+    n_hi = jnp.sum(hi, axis=0)
+    fg_cnt = n_hi * (n_tgt - 1.0) - n_hi * (n_hi - 1.0) / 2.0
+    fg = affs[cfg.mid] > cfg.patch_threshold
+    interior = jnp.ones(vol_shape, dtype=bool)
+    for ax in range(3):
+        if rad[ax] == 0:
+            continue
+        idx = jax.lax.broadcasted_iota(jnp.int32, vol_shape, ax)
+        interior &= (idx >= int(rad[ax])) & \
+            (idx < vol_shape[ax] - int(rad[ax]))
+    center_ok = fg & interior
+    if center_valid is not None:
+        center_ok = center_ok & center_valid
+    sentinel = -1.0 if cfg.norm_rank else -9999999.0
+    score = acc / jnp.maximum(1.0, fg_cnt) if cfg.norm_rank else acc
+    return jnp.where(center_ok, score, sentinel).astype(jnp.float32)

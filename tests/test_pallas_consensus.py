@@ -59,3 +59,20 @@ def test_pipeline_pallas_engine_matches_jax():
                                   fg.astype(np.uint8), params)
         res[engine] = relabel(inst)
     np.testing.assert_array_equal(res["jax"], res["pallas"])
+
+
+def test_pallas_rank_equals_xla_on_tpu():
+    """Real Mosaic compile of the rank kernel (7^3 included: the shipped
+    flagship patchshape)."""
+    from patchperpix_tpu.ops.consensus_jax import rank_scores
+    from patchperpix_tpu.ops.pallas_consensus import rank_scores_pallas
+
+    for ps, shape, P in (((3, 3, 3), (8, 9, 10), 27),
+                         ((7, 7, 7), (14, 15, 16), 343)):
+        affs = _random_affs(shape, P, seed=6)
+        cfg = ConsensusConfig(patchshape=ps)
+        cons = consensus_array(affs, cfg)
+        want = np.asarray(rank_scores(affs, cons, cfg))
+        sym = symmetrize_consensus(cons, cfg)
+        got = np.asarray(rank_scores_pallas(affs, sym, cfg))
+        np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-3)

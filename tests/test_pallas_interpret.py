@@ -56,3 +56,34 @@ def test_pallas_interpret_anisotropic_patch():
     sym = np.asarray(symmetrize_consensus(consensus_array(affs, cfg), cfg))
     out = np.asarray(consensus_array_pallas(affs, cfg, interpret=True))
     np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_rank_interpret_equals_xla():
+    """Pallas rank (symmetrized-S half-sum) vs XLA-scan rank_scores."""
+    from patchperpix_tpu.ops.consensus_jax import rank_scores
+    from patchperpix_tpu.ops.pallas_consensus import rank_scores_pallas
+
+    affs = _random_affs((8, 9, 10), 27, seed=4)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3))
+    cons = consensus_array(affs, cfg)
+    want = np.asarray(rank_scores(affs, cons, cfg))
+    sym = symmetrize_consensus(cons, cfg)
+    got = np.asarray(rank_scores_pallas(affs, sym, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_pallas_rank_interpret_overlap_and_int_counter():
+    from patchperpix_tpu.ops.consensus_jax import rank_scores
+    from patchperpix_tpu.ops.pallas_consensus import rank_scores_pallas
+
+    affs = _random_affs((8, 9, 10), 27, seed=5)
+    ov = np.zeros((8, 9, 10), bool)
+    ov[3:5, 3:6, 2:5] = True
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True,
+                          rank_int_counter=True)
+    cons = consensus_array(affs, cfg, overlap=ov)
+    want = np.asarray(rank_scores(affs, cons, cfg, overlap=ov))
+    sym = symmetrize_consensus(cons, cfg)
+    got = np.asarray(rank_scores_pallas(affs, sym, cfg, overlap=ov,
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
