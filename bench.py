@@ -1,22 +1,30 @@
 """Benchmark: end-to-end predict -> decode -> assemble on the FlyLight crop.
 
 North-star metric (BASELINE.json): Mvox/s for the full pipeline on one TPU
-chip vs the reference's CPU throughput.
+chip vs the reference's CPU throughput, at avAP parity.
 
-TPU path (fused, device-resident - no intermediate volume ever crosses the
-host relay): flagship ppp+dec model (3-level valid UNet, code 176, 7^3
-patches) sliding-window predict -> on-device code decode at the GT fg
-voxels -> vote-instances assembly of GT-derived affinities (workload pinned
-to the GT so instance count / fg voxels are deterministic; predict+decode
-run on the real model at the same shapes).
+PRIMARY workload (when the trained checkpoint ``parity/bench_ckpt`` is
+committed): the SELF-CONSISTENT pipeline — the trained ppp+dec crop model
+(configs/flylight_crop_dec.toml) predicts its own codes + numinst, its
+own foreground gates the on-device decode, and the assembly consumes the
+affinities the decode actually produced.  The resulting instance map is
+scored against GT inline (accuracy fields in the output), so the
+throughput number and the accuracy claim come from the same run.
+
+SECONDARY workload (always; the only one before a checkpoint exists):
+predict+decode at flagship shapes (3-level valid UNet, code 176) with
+assembly of GT-derived affinities — deterministic shapes/compute,
+comparable with BENCH_r01/r02.
 
 Baseline (denominator): measured ONCE on this host with
 ``python bench.py --measure-baseline`` and cached in
 ``bench_baseline.json`` (committed):
-- torch-CPU sliding-window predict + batched decode with an
-  architecture-equivalent model (benchmarks/torch_baseline.py; the
-  reference's own stack is torch)
-- numpy golden assembly of the FULL 50^3 volume (no subvolume scaling)
+- torch-CPU sliding-window predict + batched decode with
+  architecture-equivalent models (benchmarks/torch_baseline.py; the
+  reference's own stack is torch) — measured separately for the flagship
+  and crop geometries
+- the ACTUAL reference CPU vote_instances on the full 50^3 volume
+  (benchmarks/reference_cpu.py) when available, else the numpy golden
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "Mvox/s", "vs_baseline": N}
@@ -82,7 +90,8 @@ def net_shapes(model, cfg, input_extent=156):
     return in_sp, tuple(shapes[0].shape[2:])
 
 
-def run_assembly(affs, fg, numinst, engine, patchshape=PS):
+def run_assembly(affs, fg, numinst, engine, patchshape=PS,
+                 skeletonize=False):
     from patchperpix_tpu.assembly import VoteInstancesParams, to_instance_seg
 
     params = VoteInstancesParams(
@@ -90,8 +99,113 @@ def run_assembly(affs, fg, numinst, engine, patchshape=PS):
         patch_threshold=0.5, fc_threshold=0.5,
         overlapping_inst=True, mws=True,
         select_patches_for_sparse_data=True,
-        skeletonize_foreground=False)
+        skeletonize_foreground=skeletonize)
     return to_instance_seg(affs, fg, fg.copy(), numinst, params)
+
+
+def crop_model():
+    """The trained crop ppp+dec model (configs/flylight_crop_dec.toml)."""
+    from patchperpix_tpu.models import PPPConfig, PPPModel
+
+    cfg = PPPConfig(
+        patchshape=PS, num_channels=3, num_fmaps=20,
+        fmap_inc_factors=(3, 3), fmap_dec_factors=(1.0, 1.0),
+        downsample_factors=((2, 2, 2), (2, 2, 2)), kernel_size=3,
+        num_repetitions=2, padding="same", overlapping_inst=True,
+        max_num_inst=2, train_code=True, code_units=176, ae_code_fmaps=22,
+        ae_num_fmaps=(64, 128), num_code_samples=1024, dtype="bfloat16")
+    return PPPModel(cfg), cfg
+
+
+BENCH_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "parity", "bench_ckpt")
+
+
+def load_trained_params(model, cfg):
+    """Params from the committed trained checkpoint, or None."""
+    if not os.path.isdir(BENCH_CKPT):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from patchperpix_tpu.train.trainer import load_checkpoint
+
+    tmpl = jax.eval_shape(
+        lambda r: model.init(jax.random.PRNGKey(0), r,
+                             method=model.full_init),
+        jnp.zeros((1, 3, 16, 16, 16), jnp.float32))
+    tmpl = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), tmpl)
+    return load_checkpoint(BENCH_CKPT, {"params": tmpl})["params"]
+
+
+def self_consistent_pipeline(gt_labels):
+    """Trained-model predict -> own-fg decode -> assembly of own
+    affinities; returns (timings, instance map, fg, accuracy dict) or
+    None when no checkpoint is committed."""
+    import jax
+    import jax.numpy as jnp
+
+    model, cfg = crop_model()
+    params = load_trained_params(model, cfg)
+    if params is None:
+        return None
+
+    from patchperpix_tpu.infer.fused import (decode_volume_device,
+                                             predict_volume_device)
+
+    raw = load_raw_clip()
+    win = (52, 52, 52)
+
+    def pipeline(timing):
+        t0 = time.perf_counter()
+        code, prob = predict_volume_device(model, params, raw, cfg,
+                                           win, win)
+        _sync(code)
+        t1 = time.perf_counter()
+        # numinst from the model's own head (numinst_threshs 0.9/0.1,
+        # default.toml:169)
+        prob_np = np.asarray(prob, np.float32)
+        numinst = np.zeros(prob_np.shape[1:], np.uint8)
+        for i, th in enumerate((0.9, 0.1)):
+            numinst[prob_np[i + 1] > th] = i + 1
+        fg = numinst > 0
+        dec = decode_volume_device(model, params, code, fg, cfg)
+        _sync(dec)
+        t2 = time.perf_counter()
+        inst, _ = run_assembly(dec, fg, numinst, "jax", skeletonize=True)
+        t3 = time.perf_counter()
+        timing.update(predict=t1 - t0, decode=t2 - t1, assemble=t3 - t2,
+                      total=t3 - t0)
+        return np.asarray(inst), fg
+
+    warm = {}
+    pipeline(warm)
+    t = {}
+    inst, fg = pipeline(t)
+    inst[~fg] = 0
+
+    from patchperpix_tpu.evaluate import evaluate_labels
+    from patchperpix_tpu.utils.postprocess import remove_small_components
+
+    inst = remove_small_components(inst, 60)
+    acc = {}
+    res = evaluate_labels(inst, gt_labels, localization_criterion="cldice",
+                          assignment_strategy="greedy", keep_gt_shape=True)
+    acc["avg_f1_cov_score"] = res["general"]["avg_f1_cov_score"]
+    acc["AP_0.5_cldice_greedy"] = res["confusion_matrix"]["th_0_5"]["AP"]
+    res = evaluate_labels(inst, gt_labels, localization_criterion="iou",
+                          assignment_strategy="hungarian",
+                          keep_gt_shape=True)
+    acc["AP_0.5_iou_hungarian"] = res["confusion_matrix"]["th_0_5"]["AP"]
+    return {"warmup": warm, "steady": t}, inst, fg, acc
+
+
+def load_raw_clip():
+    from patchperpix_tpu.utils import io as vio
+
+    io = vio.IoZarr(FIXTURE)
+    raw = io.read(key="volumes/raw").astype(np.float32)
+    return np.clip(raw, 0, 1500.0) / 1500.0
 
 
 def _sync(x):
@@ -125,6 +239,10 @@ def measure_baseline():
     t_dec = decode_baseline_cpu(out.get("fg_vox", 21819))
     out["t_predict_torch_cpu_s"] = t_pred
     out["t_decode_torch_cpu_s"] = t_dec
+    # crop geometry (2-level same-padding, 52^3 single window) for the
+    # self-consistent workload's denominator
+    out["t_predict_torch_cpu_crop_s"] = predict_baseline_cpu(
+        raw, (52, 52, 52), (52, 52, 52), levels=2, padding=1)
     out["host"] = os.uname().nodename
     json.dump(out, open(BASELINE_FILE, "w"), indent=1)
     print(json.dumps(out), file=sys.stderr)
@@ -132,6 +250,20 @@ def measure_baseline():
 
 def main():
     import jax
+
+    from patchperpix_tpu.utils import io as vio
+
+    gt_labels = vio.IoZarr(FIXTURE).read(
+        key="volumes/gt_instances").astype(np.int32)
+
+    # PRIMARY: self-consistent trained pipeline (assembly consumes the
+    # model's own decoded affinities; accuracy scored inline)
+    sc = self_consistent_pipeline(gt_labels)
+    if sc is not None:
+        sc_t, sc_inst, sc_fg, sc_acc = sc
+        print(json.dumps({"self_consistent": sc_t, "accuracy": sc_acc,
+                          "fg_vox_own": int(sc_fg.sum())}),
+              file=sys.stderr)
 
     affs, fg, numinst = build_inputs()
     nvox = int(np.prod(fg.shape))
@@ -189,6 +321,36 @@ def main():
         t0 = time.perf_counter()
         run_assembly(affs_s, fg_s, ni_s, "numpy")
         t_base = (time.perf_counter() - t0) * nfg / max(int(fg_s.sum()), 1)
+
+    if sc is not None:
+        # headline = the self-consistent trained pipeline; denominator =
+        # torch-CPU predict/decode at the crop geometry (when measured) +
+        # the same reference assembly time (identical volume; own fg count
+        # within ~10% of the GT's 21819)
+        b = json.load(open(BASELINE_FILE)) if os.path.exists(BASELINE_FILE) \
+            else {}
+        t_asm_ref = b.get("t_assemble_reference_full_s",
+                          b.get("t_assemble_numpy_full_s", 0.0))
+        nfg_own = int(sc_fg.sum())
+        t_base_crop = (
+            b.get("t_predict_torch_cpu_crop_s",
+                  b.get("t_predict_torch_cpu_s", 0.0))
+            + b.get("t_decode_torch_cpu_s", 0.0) * nfg_own / max(nfg, 1)
+            + t_asm_ref)
+        st = sc_t["steady"]
+        n_inst_sc = len(np.unique(sc_inst[sc_inst > 0]))
+        print(json.dumps({
+            "metric": "flylight-50^3 7^3 TRAINED predict->decode->assemble"
+                      f" [self-consistent, {n_inst_sc} instances,"
+                      f" {nfg_own} own-fg vox,"
+                      f" avg_f1_cov {sc_acc['avg_f1_cov_score']:.3f},"
+                      f" AP@0.5 {sc_acc['AP_0.5_iou_hungarian']:.3f}]",
+            "value": round(nvox / st["total"] / 1e6, 4),
+            "unit": "Mvox/s",
+            "vs_baseline": round(t_base_crop / st["total"], 2)
+            if t_base_crop else None,
+        }))
+        return
 
     mvox_s = nvox / t["total"] / 1e6
     print(json.dumps({

@@ -30,19 +30,21 @@ class BaselineUNet3D(nn.Module):
     (code_units + numinst classes) - the FlyLight setup01 shape."""
 
     def __init__(self, in_ch=3, num_fmaps=20, inc=3, levels=3,
-                 code_units=176, numinst_classes=3):
+                 code_units=176, numinst_classes=3, padding=0):
         super().__init__()
         f = [num_fmaps * inc ** l for l in range(levels + 1)]
         self.downs = nn.ModuleList(
-            [_conv_block(in_ch if l == 0 else f[l - 1], f[l])
+            [_conv_block(in_ch if l == 0 else f[l - 1], f[l],
+                         padding=padding)
              for l in range(levels)])
         self.pool = nn.MaxPool3d(2)
-        self.bottom = _conv_block(f[levels - 1], f[levels])
+        self.bottom = _conv_block(f[levels - 1], f[levels], padding=padding)
         self.ups = nn.ModuleList(
             [nn.ConvTranspose3d(f[l + 1], f[l], 2, stride=2)
              for l in reversed(range(levels))])
         self.upconvs = nn.ModuleList(
-            [_conv_block(2 * f[l], f[l]) for l in reversed(range(levels))])
+            [_conv_block(2 * f[l], f[l], padding=padding)
+             for l in reversed(range(levels))])
         self.head_code = nn.Conv3d(f[0], code_units, 1)
         self.head_numinst = nn.Conv3d(f[0], numinst_classes, 1)
 
@@ -95,14 +97,19 @@ class BaselineDecoder(nn.Module):
 
 @torch.no_grad()
 def predict_baseline_cpu(raw: np.ndarray, input_shape, output_shape,
-                         batch_size: int = 1) -> float:
+                         batch_size: int = 1, levels: int = 3,
+                         padding: int = 0) -> float:
     """Wall time of the torch-CPU sliding-window predict over ``raw``
-    (same window grid as the TPU path).  Returns seconds."""
+    (same window grid as the TPU path).  Returns seconds.
+
+    ``levels``/``padding`` select the geometry: the 3-level valid flagship
+    (default) or the 2-level same-padding crop model (padding=1)."""
     import time
 
     from patchperpix_tpu.infer.predict import enumerate_shifts
 
-    model = BaselineUNet3D(in_ch=raw.shape[0]).eval()
+    model = BaselineUNet3D(in_ch=raw.shape[0], levels=levels,
+                           padding=padding).eval()
     spatial = np.array(raw.shape[1:])
     input_shape = np.array(input_shape)
     output_shape = np.array(output_shape)
