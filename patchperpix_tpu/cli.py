@@ -313,13 +313,17 @@ def train(args, config, paths):
     # HBM once, sampling+augmentation inside the jitted step — no per-step
     # H2D and a fused K-step scan.  Used when requested and the config's
     # augmentations are reproducible on device.
+    # fixed gt channel count for the jitted step: the samples' own channel
+    # maximum (padding to more just burns gt_affinities_dense compute)
+    max_gt = int(tr.get("max_gt_channels",
+                        max(s.labels.shape[0] for s in samples)))
     pf = None
     if tr.get("device_sampler", False):
         from .train import DeviceSampler, device_sampler_supported
 
         reason = device_sampler_supported(scfg)
         if reason is None:
-            pf = DeviceSampler(samples, scfg)
+            pf = DeviceSampler(samples, scfg, max_gt_channels=max_gt)
             logger.info("training with the device-resident sampler")
         else:
             logger.warning("device_sampler requested but config needs %s; "
@@ -327,7 +331,7 @@ def train(args, config, paths):
     if pf is None:
         sampler = CropSampler(samples, scfg)
         pf = Prefetcher(sampler, cache_size=tr.get("cache_size", 8),
-                        with_partly=add_partly)
+                        max_gt_channels=max_gt, with_partly=add_partly)
 
     max_iter = 10 if args.debug_args else tr.get("max_iterations", 400002)
     tcfg = TrainConfig(
@@ -364,6 +368,7 @@ def train(args, config, paths):
                     elastic=False, mirror=False, transpose=False))
             val_sampler = CropSampler(val_samples, vcfg)
             val_pf = Prefetcher(val_sampler, cache_size=2,
+                                max_gt_channels=max_gt,
                                 with_partly=add_partly)
             val_batch_fn = val_pf.next
         else:

@@ -197,6 +197,33 @@ def trained_e2e(sample, iters: int, out_dir: str, big: bool = False,
     return scores
 
 
+def trained_e2e_from_exp(sample, exp_base: str, checkpoint: int | None):
+    """Score the CLI-produced instanced output (predict/label ran through
+    `python -m patchperpix_tpu.cli`, checkpoints from the CLI `train`
+    task — the reference workflow run_ppp.py:625-1190)."""
+    from patchperpix_tpu.utils import io as vio
+
+    if checkpoint is None:
+        from patchperpix_tpu.cli import get_checkpoint_list
+
+        checkpoint = get_checkpoint_list(os.path.join(exp_base, "train"))[-1]
+    inst_dir = os.path.join(exp_base, "test", "instanced", str(checkpoint))
+    base = os.path.splitext(os.path.basename(FIXTURE))[0]
+    path = os.path.join(inst_dir, base + ".hdf")
+    io = vio.IoHDF5(path, mode="r")
+    inst = io.read(key="vote_instances")
+    io.close()
+    scores = eval_both(inst, sample.labels)
+    scores["checkpoint"] = int(checkpoint)
+    scores["exp_base"] = exp_base
+    scores["source"] = "cli"
+    with open(os.path.join(exp_base, "train", "train_log.jsonl")) as f:
+        rows = [json.loads(l) for l in f if '"loss"' in l]
+    scores["final_train_loss"] = rows[-1]["loss"] if rows else None
+    scores["train_iters"] = rows[-1]["step"] if rows else None
+    return scores
+
+
 def main():
     from patchperpix_tpu.train import load_sample
 
@@ -205,6 +232,12 @@ def main():
     big = "--big" in sys.argv
     skip_oracle = "--skip-oracle" in sys.argv
     resume = "--resume" in sys.argv
+    from_exp = None
+    if "--from-exp" in sys.argv:
+        from_exp = sys.argv[sys.argv.index("--from-exp") + 1]
+    checkpoint = None
+    if "--checkpoint" in sys.argv:
+        checkpoint = int(sys.argv[sys.argv.index("--checkpoint") + 1])
     os.makedirs(OUT_DIR, exist_ok=True)
     sample = load_sample(FIXTURE, "volumes/raw", "volumes/gt_instances",
                          clipmax=1500)
@@ -220,11 +253,16 @@ def main():
         results["oracle_assembly"] = oracle_assembly(sample)
         print(json.dumps(results["oracle_assembly"], indent=1), flush=True)
 
-    print(f"== trained e2e ({iters} iters, big={big}) ==", flush=True)
-    results["trained_e2e"] = trained_e2e(sample, iters,
-                                         os.path.join(OUT_DIR, "train"),
-                                         big=big, resume=resume)
-    results["trained_e2e"]["model"] = "fmaps20" if big else "fmaps16"
+    if from_exp is not None:
+        print(f"== trained e2e (CLI experiment {from_exp}) ==", flush=True)
+        results["trained_e2e"] = trained_e2e_from_exp(sample, from_exp,
+                                                      checkpoint)
+    else:
+        print(f"== trained e2e ({iters} iters, big={big}) ==", flush=True)
+        results["trained_e2e"] = trained_e2e(sample, iters,
+                                             os.path.join(OUT_DIR, "train"),
+                                             big=big, resume=resume)
+        results["trained_e2e"]["model"] = "fmaps20" if big else "fmaps16"
     print(json.dumps(results["trained_e2e"], indent=1), flush=True)
 
     with open(res_path, "w") as f:
