@@ -40,8 +40,12 @@ def main():
     crop = (40, 40, 40)
     K = 100
 
-    for dtype in ("float32", "bfloat16"):
-        for batch in (3, 8):
+    variants = [("float32", 3), ("bfloat16", 3), ("float32", 8),
+                ("bfloat16", 8)]
+    if len(sys.argv) > 2:
+        variants = [(sys.argv[1], int(sys.argv[2]))]
+    for dtype, batch in variants:
+        if True:
             mcfg = dataclasses.replace(base, dtype=dtype)
             model = PPPModel(mcfg)
             scfg = SamplerConfig(
