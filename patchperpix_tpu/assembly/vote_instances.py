@@ -117,6 +117,11 @@ class VoteInstancesParams:
     only_bb: bool = True
     num_parallel_blocks: int = 1
     num_parallel_samples: int = 1
+    sample: float = 1.0        # <1: random patch-pixel subsampling in the
+                               # cover stages + random patch-list
+                               # subsampling in the isbi hack
+                               # (get_patch_sets.py:32-54,
+                               # isbi_hacks.py:25-28)
     vote_debug: bool = False   # write tiled patch canvas + graph-edge
                                # canvas to the result hdf (reference
                                # debug volumes, vote_instances.py:270-274,
@@ -412,6 +417,12 @@ def to_instance_seg(
             pred_affs = np.asarray(pred_affs, dtype=np.float32)
         all_patches = sparsify_patches(all_patches,
                                        params.isbi_sparsify_stride)
+        if params.sample < 1.0:
+            # random patch-list subsample (isbi_hacks.py:25-28)
+            rng_s = np.random.RandomState(params.seed)
+            n_keep = max(1, int(params.sample * len(all_patches)))
+            sel = rng_s.choice(len(all_patches), n_keep, replace=False)
+            all_patches = [all_patches[i] for i in sorted(sel)]
         if vol_shape[0] > 1:
             mask_to_cover = filter_instance_boundaries_from_fg(
                 pred_affs, foreground, all_patches, ps, mask_to_cover,
@@ -424,6 +435,26 @@ def to_instance_seg(
     ranked = ref.rank_patch_list(all_patches, scores)
 
     _t_stage = time.perf_counter()
+
+    # patch-pixel subsampling (get_patch_sets.py:32-54 ``sample < 1``):
+    # each patch's above-threshold pixel set is randomly thinned before
+    # the cover stages.  Bernoulli(sample) per (pixel, patch) entry is the
+    # order-free parallel analog of the reference's random.sample (exact
+    # sequential sampling is order-dependent, like the LCG note below).
+    def _thin_host(a):
+        keep = np.random.RandomState(params.seed).rand(
+            *np.shape(a)) < params.sample
+        return np.where(keep, np.asarray(a, np.float32), 0.0)
+
+    cover_affs_dev = pred_affs_dev if use_jax else None
+    if params.sample < 1.0 and use_jax:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        keep = _jax.random.bernoulli(
+            _jax.random.PRNGKey(params.seed), params.sample,
+            pred_affs_dev.shape)
+        cover_affs_dev = _jnp.where(keep, pred_affs_dev, 0.0)
 
     # (3) greedy foreground cover  (4) thin-out set cover
     if params.selected_patches is not None:
@@ -441,13 +472,15 @@ def to_instance_seg(
         if use_jax and not cover_host_only:
             with _stage_trace("cover"):
                 selected, _ = greedy_cover_device(
-                    pred_affs_dev, mask_to_cover, ranked, ps,
+                    cover_affs_dev, mask_to_cover, ranked, ps,
                     fc_threshold=params.fc_threshold,
                     overlap=overlap_mask,
                     sparse_data=params.select_patches_for_sparse_data)
         else:
+            host_cover_affs = (_thin_host(pred_affs)
+                               if params.sample < 1.0 else pred_affs)
             selected, _ = ref.foreground_cover_reference(
-                pred_affs, mask_to_cover, ranked, ps,
+                host_cover_affs, mask_to_cover, ranked, ps,
                 fc_threshold=params.fc_threshold,
                 overlap=overlap_mask,
                 sparse_data=params.select_patches_for_sparse_data,
@@ -462,11 +495,13 @@ def to_instance_seg(
             if use_jax:
                 with _stage_trace("thin_cover"):
                     selected = thin_out_cover_device(
-                        pred_affs_dev, mask_to_cover, selected, ps,
+                        cover_affs_dev, mask_to_cover, selected, ps,
                         fc_threshold=params.fc_threshold)
             else:
                 selected = ref.thin_out_cover_reference(
-                    pred_affs, mask_to_cover, selected, ps,
+                    _thin_host(pred_affs) if params.sample < 1.0
+                    else pred_affs,
+                    mask_to_cover, selected, ps,
                     fc_threshold=params.fc_threshold)
             logger.info("stage thin-cover: %.2fs (%d kept)",
                         time.perf_counter() - _t_stage, len(selected))

@@ -291,3 +291,18 @@ def test_do_all_vote_debug_canvases(tmp_path):
     # interior), and at least one graph edge was drawn
     assert tiles[tiles != 2.0].max() > 0
     assert edges.max() > 0
+
+
+def test_sample_subsampling_cover(tmp_path):
+    """params.sample < 1 (get_patch_sets.py:32-54): patch pixels are
+    randomly thinned in the cover stages; ideal affinities still
+    reconstruct both instances, and selection differs from sample=1."""
+    labels, affs, fg = _setup_case()
+    base = dict(patchshape=(1, 5, 5), engine="jax",
+                select_patches_for_sparse_data=False)
+    full, _ = to_instance_seg(affs, fg, fg.copy(), fg.astype(np.uint8),
+                              VoteInstancesParams(**base))
+    sub, _ = to_instance_seg(affs, fg, fg.copy(), fg.astype(np.uint8),
+                             VoteInstancesParams(**base, sample=0.5))
+    assert len(np.unique(full[full > 0])) == 2
+    assert len(np.unique(sub[sub > 0])) == 2
