@@ -202,3 +202,42 @@ def test_fused_loop_matches_host_loop_loss_scale(tmp_path):
     ldev = last_loss(str(tmp_path / "dev"))
     lhost = last_loss(str(tmp_path / "host"))
     assert ldev < 2.0 * lhost + 0.1
+
+
+def test_partly_flag_and_weighted_overlap_pool():
+    """partly flags flow per-sample; point_balance_radius weighting uses
+    the cumulative-weight searchsorted path."""
+    s_complete = _toy_sample(0)
+    s_partly = _toy_sample(1)
+    s_partly.partly = True
+    # overlap CSV-style points with strong clustering for weighting
+    pts = np.array([[15, 15], [15, 16], [16, 15], [16, 16], [30, 30]])
+    s_partly.overlap_points = pts
+    cfg = _cfg(probability_fg=0.0, probability_overlap=1.0,
+               probability_random=0.0, point_balance_radius=3.0,
+               batch_size=16)
+    ds = DeviceSampler([s_complete, s_partly], cfg)
+    assert ds.ov.cumw is not None  # weighted pool active
+    _, _, partly = jax.jit(ds.sample_batch)(jax.random.PRNGKey(0))
+    partly = np.asarray(partly)
+    assert partly.any() and not partly.all()  # both samples drawn
+
+    # weighting: the isolated point (weight 1/1) should be drawn far more
+    # often than each clustered point (weight 1/4): over many draws the
+    # isolated point gets ~50% of the partly sample's overlap draws
+    iso = clus = 0
+    one = DeviceSampler([s_partly], cfg)
+    sample_jit = jax.jit(one.sample_batch)
+    for i in range(6):
+        _, labels, _ = sample_jit(jax.random.PRNGKey(i))
+        lab = np.asarray(labels)
+        c = lab.shape[-1] // 2
+        # identify crop center: compare against the two pool locations via
+        # the center pixel's label pattern is ambiguous; instead re-derive
+        # centers from the sampler directly
+    # statistical check on _choose_center directly
+    draws = jax.vmap(lambda k: one._choose_center(k, 0))(
+        jax.random.split(jax.random.PRNGKey(1), 256))
+    draws = np.asarray(draws)
+    iso = int((draws == pts[4]).all(axis=1).sum())
+    assert iso > 256 * 0.3  # unweighted would give ~20%
