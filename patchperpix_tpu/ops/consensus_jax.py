@@ -576,18 +576,35 @@ def patch_graph_weights(
     if len(near_idx) == 0:
         return jnp.asarray(out)
 
-    # group near pairs by first endpoint into fixed-size segments
-    order = near_idx[np.argsort(id_pairs[near_idx, 0], kind="stable")]
-    firsts, seg_starts = np.unique(id_pairs[order, 0], return_index=True)
+    # orientation balancing: a pair may be computed from either endpoint —
+    # acc/fg_cnt are exactly symmetric under (c1, c2) swap (S_sym symmetry
+    # + the fwd lex bounds mirror), only the stateless intersection-keep
+    # draws differ (same keep probability).  Assign each pair to its
+    # busier endpoint so pairs concentrate into fewer panel segments
+    # (each segment is one sequential lax.map step).
+    cnt = np.bincount(id_pairs[near_idx].ravel(),
+                      minlength=len(centers))
+    a_e = id_pairs[near_idx, 0]
+    b_e = id_pairs[near_idx, 1]
+    swap = cnt[b_e] > cnt[a_e]
+    p_first = np.where(swap, b_e, a_e)
+    p_second = np.where(swap, a_e, b_e)
+
+    # group near pairs by (balanced) first endpoint into fixed segments
+    sort = np.argsort(p_first, kind="stable")
+    order = near_idx[sort]
+    p_first, p_second = p_first[sort], p_second[sort]
+    firsts, seg_starts = np.unique(p_first, return_index=True)
     seg_first, seg_partner, seg_valid, seg_out = [], [], [], []
     bounds = list(seg_starts) + [len(order)]
     for fi, f in enumerate(firsts):
-        members = order[bounds[fi]:bounds[fi + 1]]
-        for s in range(0, len(members), group):
-            chunk = members[s:s + group]
+        lo, hi = bounds[fi], bounds[fi + 1]
+        for s in range(lo, hi, group):
+            chunk = order[s:s + group]
+            partners = p_second[s:s + group]
             pad = group - len(chunk)
             seg_first.append(f)
-            seg_partner.append(np.pad(id_pairs[chunk, 1], (0, pad)))
+            seg_partner.append(np.pad(partners, (0, pad)))
             seg_valid.append(np.pad(np.ones(len(chunk), bool), (0, pad)))
             seg_out.append(np.pad(chunk, (0, pad)))
     # pad segment count to a multiple of 8 to bound recompiles
