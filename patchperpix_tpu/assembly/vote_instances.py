@@ -380,10 +380,12 @@ def to_instance_seg(
     elif sharded_scores is not None:
         with _stage_trace("rank"):
             scores = np.asarray(sharded_scores)
-    elif use_pallas:
+    elif use_pallas and not os.environ.get("PPP_DISABLE_PALLAS_RANK"):
         # pallas rank consumes the symmetrized consensus the pallas
         # consensus kernel emitted (same grid/banded streaming; replaces
-        # the P sequential XLA-scan steps)
+        # the P sequential XLA-scan steps).  PPP_DISABLE_PALLAS_RANK=1
+        # falls back to the XLA-scan rank (symmetrized input is fine:
+        # ranking reads only canonical entries, identical values).
         from ..ops.pallas_consensus import rank_scores_pallas
 
         with _stage_trace("rank"):
