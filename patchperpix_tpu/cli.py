@@ -314,14 +314,23 @@ def train(args, config, paths):
     # H2D and a fused K-step scan.  Used when requested and the config's
     # augmentations are reproducible on device.
     # fixed gt channel count for the jitted step: the samples' own channel
-    # maximum (padding to more just burns gt_affinities_dense compute)
-    max_gt = int(tr.get("max_gt_channels",
-                        max(s.labels.shape[0] for s in samples)))
+    # maximum (padding to more just burns gt_affinities_dense compute);
+    # the overlay augmentation concatenates a second crop's labels, so it
+    # needs double headroom or the overlaid instances would be truncated
+    # to unlabeled (visible raw, background supervision)
+    base_gt = max(s.labels.shape[0] for s in samples)
+    if acfg.probability_overlay > 0:
+        base_gt *= 2
+    max_gt = int(tr.get("max_gt_channels", base_gt))
     pf = None
     if tr.get("device_sampler", False):
         from .train import DeviceSampler, device_sampler_supported
 
         reason = device_sampler_supported(scfg)
+        if int(tr.get("num_devices", 1)) > 1:
+            # the fused device loop is single-device; data-parallel runs
+            # keep the host prefetcher (train_until would raise otherwise)
+            reason = reason or "num_devices > 1 (data-parallel mesh)"
         if reason is None:
             pf = DeviceSampler(samples, scfg, max_gt_channels=max_gt)
             logger.info("training with the device-resident sampler")
@@ -365,7 +374,9 @@ def train(args, config, paths):
             val_samples = _load_dir(val_dir)
             vcfg = dataclasses.replace(
                 scfg, augment=AugmentConfig(
-                    elastic=False, mirror=False, transpose=False))
+                    elastic=False, mirror=False, transpose=False,
+                    intensity_scale=(1.0, 1.0),
+                    intensity_shift=(0.0, 0.0)))
             val_sampler = CropSampler(val_samples, vcfg)
             val_pf = Prefetcher(val_sampler, cache_size=2,
                                 max_gt_channels=max_gt,
@@ -663,7 +674,11 @@ def evaluate(args, config, paths, mode=None, checkpoint=None,
             continue
         gt_file = os.path.join(data_dir,
                                s + "." + data.get("input_format", "zarr"))
-        partly = "partly" in gt_file
+        # partly detection scoped to the data dir + file names (the
+        # reference substring-tests the whole path, run_ppp.py:1213, which
+        # misfires when an unrelated parent dir contains "partly")
+        partly = ("partly" in os.path.basename(os.path.normpath(data_dir))
+                  or "partly" in os.path.basename(gt_file))
         if add_partly_val and not partly:
             partly_gt = gt_file.replace("complete", "partly")
             if partly_gt != gt_file and os.path.exists(partly_gt):

@@ -600,8 +600,9 @@ def patch_graph_weights(
     for fi, f in enumerate(firsts):
         lo, hi = bounds[fi], bounds[fi + 1]
         for s in range(lo, hi, group):
-            chunk = order[s:s + group]
-            partners = p_second[s:s + group]
+            stop = min(s + group, hi)  # never spill into the next first
+            chunk = order[s:stop]
+            partners = p_second[s:stop]
             pad = group - len(chunk)
             seg_first.append(f)
             seg_partner.append(np.pad(partners, (0, pad)))

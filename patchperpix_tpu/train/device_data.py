@@ -172,10 +172,15 @@ class DeviceSampler:
         return center.astype(jnp.int32)
 
     def _augment(self, rng, raw, labels):
-        """Mirror / transpose / permute / hue / intensity, branchless."""
+        """Mirror / transpose / permute / hue / intensity, branchless.
+
+        Every random draw gets its OWN key — reusing a key across a
+        decision and a value couples them (e.g. transposed crops would
+        always land in the lower half of the intensity-scale range)."""
         a = self.cfg.augment
-        n_r = 2 + self.ndim
-        keys = jax.random.split(rng, n_r + 4)
+        keys = jax.random.split(rng, self.ndim + 8)
+        (k_tr, k_tr_pi, k_perm_do, k_perm, k_hue_do, k_hue_amt,
+         k_scale, k_shift) = keys[self.ndim:]
         sp_axes_raw = list(range(1, 1 + self.ndim))
 
         if a.mirror:
@@ -198,8 +203,8 @@ class DeviceSampler:
                     order[i], order[j] = order[j], order[i]
                     return order
 
-                do_tr = jax.random.bernoulli(keys[n_r])
-                pi = jax.random.randint(keys[n_r + 1], (), 0, len(pairs))
+                do_tr = jax.random.bernoulli(k_tr)
+                pi = jax.random.randint(k_tr_pi, (), 0, len(pairs))
                 branches_r = [
                     (lambda o: (lambda x: jnp.transpose(x, o)))(mk(i, j))
                     for i, j in pairs]
@@ -209,22 +214,22 @@ class DeviceSampler:
                 labels = jnp.where(do_tr, lab_t, labels)
 
         if a.probability_permute > 0 and raw.shape[0] >= 2:
-            do_p = jax.random.uniform(keys[n_r + 2]) < a.probability_permute
-            perm = jax.random.permutation(keys[n_r + 2], raw.shape[0])
+            do_p = jax.random.uniform(k_perm_do) < a.probability_permute
+            perm = jax.random.permutation(k_perm, raw.shape[0])
             raw = jnp.where(do_p, raw[perm], raw)
         if a.probability_hue > 0 and raw.shape[0] >= 3:
-            kh = keys[n_r + 3]
-            do_h = jax.random.uniform(kh) < a.probability_hue
+            do_h = jax.random.uniform(k_hue_do) < a.probability_hue
             amount = jnp.abs(jax.random.uniform(
-                kh, minval=-a.hue_max_change, maxval=a.hue_max_change))
+                k_hue_amt, minval=-a.hue_max_change,
+                maxval=a.hue_max_change))
             rolled = jnp.roll(raw[:3], 1, axis=0)
             mixed = jnp.clip((1 - amount) * raw[:3] + amount * rolled, 0, 1)
             raw = jnp.where(do_h, raw.at[:3].set(mixed), raw)
 
-        scale = jax.random.uniform(keys[n_r], (),
+        scale = jax.random.uniform(k_scale, (),
                                    minval=a.intensity_scale[0],
                                    maxval=a.intensity_scale[1])
-        shift = jax.random.uniform(keys[n_r + 1], (),
+        shift = jax.random.uniform(k_shift, (),
                                    minval=a.intensity_shift[0],
                                    maxval=a.intensity_shift[1])
         raw = jnp.clip(raw * scale + shift, 0, 1)
@@ -248,7 +253,10 @@ class DeviceSampler:
         raw, labels = self._augment(r_aug, raw, labels)
 
         def center_crop(x, shape):
-            off = tuple((b - s) // 2 for b, s in zip(big, shape))
+            # host parity: CropSampler crops around center big//2, i.e.
+            # start = big//2 - shape//2 (differs from (big-shape)//2 by
+            # one voxel when parities mix)
+            off = tuple(b // 2 - s // 2 for b, s in zip(big, shape))
             return jax.lax.dynamic_slice(
                 x, (0,) + off, (x.shape[0],) + tuple(shape))
 

@@ -313,6 +313,11 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     from .device_data import DeviceSampler
 
     if isinstance(prefetcher, DeviceSampler):
+        if mesh is not None:
+            raise ValueError(
+                "device_sampler does not support a data-parallel mesh yet "
+                "(the fused loop is single-device); set "
+                "training.num_devices=1 or use the host prefetcher")
         return _train_until_device(model, mcfg, tcfg, prefetcher,
                                    val_batch_fn=val_batch_fn,
                                    rng_seed=rng_seed)
@@ -490,7 +495,9 @@ def _train_until_device(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     optimizer = make_optimizer(tcfg)
 
     rng, init_rng, data_rng = jax.random.split(rng, 3)
-    raw0, _, _ = jax.jit(dsampler.sample_batch)(data_rng)
+    sample_jit = jax.jit(dsampler.sample_batch)  # one wrapper: snapshots
+                                                 # must not retrace it
+    raw0, _, _ = sample_jit(data_rng)
     params = model.init(init_rng, raw0, method=PPPModel.full_init)
     opt_state = optimizer.init(params)
     state = {"params": params, "opt_state": opt_state, "step": 0}
@@ -588,7 +595,7 @@ def _train_until_device(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
             import h5py
 
             rng, srng = jax.random.split(rng)
-            raw, labels, _ = jax.jit(dsampler.sample_batch)(srng)
+            raw, labels, _ = sample_jit(srng)
             if snap_fwd is None:
                 snap_fwd = jax.jit(model.apply)
             h1, h2 = snap_fwd(params, raw)
