@@ -35,6 +35,8 @@ def _fwd_and_place(model, mcfg, params, out1, out2, raw_all, offset,
         (raw_all.shape[0],) + tuple(int(i) for i in input_shape))
     h1, h2 = model.apply(params, tile[None])
     h1, h2 = apply_activations(mcfg, h1, h2)
+    h1 = h1.astype(out1.dtype)  # bf16 (AMP) models emit bf16 heads
+    h2 = h2.astype(out2.dtype)
     out1 = jax.lax.dynamic_update_slice(out1, h1[0], (0,) + tuple(offset))
     out2 = jax.lax.dynamic_update_slice(out2, h2[0], (0,) + tuple(offset))
     return out1, out2
