@@ -163,11 +163,15 @@ def self_consistent_pipeline(gt_labels):
         _sync(code)
         t1 = time.perf_counter()
         # numinst from the model's own head (numinst_threshs 0.9/0.1,
-        # default.toml:169)
-        prob_np = np.asarray(prob, np.float32)
-        numinst = np.zeros(prob_np.shape[1:], np.uint8)
-        for i, th in enumerate((0.9, 0.1)):
-            numinst[prob_np[i + 1] > th] = i + 1
+        # default.toml:169) — same helper the CLI label path uses
+        from patchperpix_tpu.assembly import VoteInstancesParams
+        from patchperpix_tpu.assembly.vote_instances import \
+            numinst_from_probs
+
+        numinst = numinst_from_probs(
+            np.asarray(prob, np.float32),
+            VoteInstancesParams(patchshape=PS,
+                                numinst_threshs=(0.9, 0.1)))
         fg = numinst > 0
         dec = decode_volume_device(model, params, code, fg, cfg)
         _sync(dec)
@@ -305,30 +309,33 @@ def main():
     n_inst = len(np.unique(inst[inst > 0]))
     print(json.dumps({"warmup": warm, "steady": t}), file=sys.stderr)
 
-    if os.path.exists(BASELINE_FILE):
-        b = json.load(open(BASELINE_FILE))
-        # assembly denominator: the ACTUAL reference CPU vote_instances
-        # (benchmarks/reference_cpu.py, measured once on this host) when
-        # available; else this repo's numpy golden (parity-tested, faster
-        # than the reference, i.e. a CONSERVATIVE stand-in)
-        t_asm = b.get("t_assemble_reference_full_s",
-                      b["t_assemble_numpy_full_s"])
-        t_base = (b["t_predict_torch_cpu_s"] + b["t_decode_torch_cpu_s"]
-                  + t_asm)
-    else:  # fallback: scaled mini numpy assembly only (round-1 method)
-        sub = 24
-        affs_s, fg_s, ni_s = build_inputs(size=sub)
-        t0 = time.perf_counter()
-        run_assembly(affs_s, fg_s, ni_s, "numpy")
-        t_base = (time.perf_counter() - t0) * nfg / max(int(fg_s.sum()), 1)
+    b = json.load(open(BASELINE_FILE)) if os.path.exists(BASELINE_FILE) \
+        else None
+    if sc is None:
+        if b is not None:
+            # assembly denominator: the ACTUAL reference CPU
+            # vote_instances (benchmarks/reference_cpu.py, measured once
+            # on this host) when available; else this repo's numpy golden
+            # (parity-tested, faster than the reference, i.e. a
+            # CONSERVATIVE stand-in)
+            t_asm = b.get("t_assemble_reference_full_s",
+                          b["t_assemble_numpy_full_s"])
+            t_base = (b["t_predict_torch_cpu_s"]
+                      + b["t_decode_torch_cpu_s"] + t_asm)
+        else:  # fallback: scaled mini numpy assembly (round-1 method)
+            sub = 24
+            affs_s, fg_s, ni_s = build_inputs(size=sub)
+            t0 = time.perf_counter()
+            run_assembly(affs_s, fg_s, ni_s, "numpy")
+            t_base = (time.perf_counter() - t0) * nfg \
+                / max(int(fg_s.sum()), 1)
 
     if sc is not None:
         # headline = the self-consistent trained pipeline; denominator =
         # torch-CPU predict/decode at the crop geometry (when measured) +
         # the same reference assembly time (identical volume; own fg count
         # within ~10% of the GT's 21819)
-        b = json.load(open(BASELINE_FILE)) if os.path.exists(BASELINE_FILE) \
-            else {}
+        b = b or {}
         t_asm_ref = b.get("t_assemble_reference_full_s",
                           b.get("t_assemble_numpy_full_s", 0.0))
         nfg_own = int(sc_fg.sum())

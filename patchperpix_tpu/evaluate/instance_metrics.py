@@ -30,21 +30,38 @@ DEFAULT_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
 def _instance_masks(labels: np.ndarray, keep_shape: bool = False):
     """List of (id, boolean mask) from a flat label volume or a
-    one-instance-per-channel stack (keep_gt_shape semantics)."""
-    masks = []
-    if labels.ndim >= 2 and keep_shape and labels.shape[0] > 1 \
+    one-instance-per-channel stack (keep_gt_shape semantics).
+
+    The stack interpretation is only used when every nonzero channel
+    carries exactly ONE instance id — a flat volume whose leading axis
+    slices hold several ids (the common misconfiguration) falls back to
+    flat labeling instead of silently scoring slices as instances."""
+    if labels.ndim >= 3 and keep_shape and labels.shape[0] > 1 \
             and len(np.unique(labels)) <= labels.shape[0] + 1:
-        # channel stack: one instance per channel
+        masks = []
+        ok = True
         for c in range(labels.shape[0]):
             m = labels[c] > 0
-            if m.any():
-                ids = np.unique(labels[c][m])
-                masks.append((int(ids[0]), m))
-        return masks
+            if not m.any():
+                continue
+            ids = np.unique(labels[c][m])
+            if len(ids) != 1:
+                ok = False  # not one-instance-per-channel
+                break
+            masks.append((int(ids[0]), m))
+        if ok and masks:
+            return masks
+    masks = []
     flat = labels if labels.ndim <= 3 else np.max(labels, axis=0)
     for i in np.unique(flat[flat > 0]):
         masks.append((int(i), flat == i))
     return masks
+
+
+def _th_key(t: float) -> str:
+    """Canonical per-threshold result key (shared by evaluate_labels and
+    the fold averaging so float noise can't desynchronize lookups)."""
+    return "th_" + str(round(float(t), 2)).replace(".", "_")
 
 
 def iou_matrix(gt_masks, pred_masks) -> np.ndarray:
@@ -60,11 +77,26 @@ def iou_matrix(gt_masks, pred_masks) -> np.ndarray:
     return out
 
 
-def cldice_matrix(gt_masks, pred_masks):
+def gt_skel_recall_matrix(gt_masks, pred_masks, gt_skels=None):
+    """Per-(gt, pred) gt-skeleton recall |gt_skel AND pred| / |gt_skel| —
+    the avg_tp_skel_coverage building block.  Needs NO pred skeletons
+    (cheaper than the full clDice matrix on the iou path)."""
+    if gt_skels is None:
+        gt_skels = [skeletonize(g) > 0 for _, g in gt_masks]
+    out = np.zeros((len(gt_masks), len(pred_masks)), dtype=np.float64)
+    for gi, gsk in enumerate(gt_skels):
+        gsk_n = max(int(gsk.sum()), 1)
+        for pi, (_, p) in enumerate(pred_masks):
+            out[gi, pi] = int(np.logical_and(gsk, p).sum()) / gsk_n
+    return out
+
+
+def cldice_matrix(gt_masks, pred_masks, gt_skels=None):
     """clDice localization: harmonic mean of topology precision/sensitivity
     on skeletons.  Also returns per-(gt, pred) gt-skeleton recall (the
     skeleton-coverage building block)."""
-    gt_skels = [skeletonize(g) > 0 for _, g in gt_masks]
+    if gt_skels is None:
+        gt_skels = [skeletonize(g) > 0 for _, g in gt_masks]
     pred_skels = [skeletonize(p) > 0 for _, p in pred_masks]
     n_gt, n_pred = len(gt_masks), len(pred_masks)
     mat = np.zeros((n_gt, n_pred), dtype=np.float64)
@@ -110,14 +142,16 @@ def assign(scores: np.ndarray, threshold: float, strategy: str):
     raise ValueError(f"unknown assignment strategy {strategy}")
 
 
-def union_skel_coverage(gt_masks, pred_union: np.ndarray) -> np.ndarray:
+def union_skel_coverage(gt_masks, pred_union: np.ndarray,
+                        gt_skels=None) -> np.ndarray:
     """Per-gt skeleton coverage by the UNION of all predictions:
     |gt_skel AND (pred > 0)| / |gt_skel|.  This is the package's
     gt_skel_coverage (a per-gt list; run_ppp.py:1624-1626 consumes it as
     ``general.gt_skel_coverage``), NOT a per-pred sum."""
+    if gt_skels is None:
+        gt_skels = [skeletonize(g) > 0 for _, g in gt_masks]
     out = np.zeros(len(gt_masks), dtype=np.float64)
-    for gi, (_, g) in enumerate(gt_masks):
-        gsk = skeletonize(g) > 0
+    for gi, gsk in enumerate(gt_skels):
         n = int(gsk.sum())
         if n == 0:
             continue
@@ -177,13 +211,21 @@ def evaluate_labels(
 
     want_tp_skel = "avg_tp_skel_coverage" in (add_multi_thresh_metrics or ())
     want_gt_skel = "avg_gt_skel_coverage" in (add_general_metrics or ())
+    # gt skeletons computed ONCE and shared by the clDice matrix, the
+    # tp-coverage matrix and the union coverage (skeletonization is the
+    # dominant cost per sample)
+    gt_skels = None
+    if want_tp_skel or want_gt_skel or localization_criterion == "cldice":
+        gt_skels = [skeletonize(g) > 0 for _, g in gt_masks]
     gt_cov = None
     if localization_criterion == "iou":
         scores = iou_matrix(gt_masks, pred_masks)
-        if localization_criterion == "cldice" or want_tp_skel:
-            _, gt_cov = cldice_matrix(gt_masks, pred_masks)
+        if want_tp_skel:
+            # only the gt-skeleton recall is needed — skip the pred
+            # skeletonization the full clDice matrix would pay for
+            gt_cov = gt_skel_recall_matrix(gt_masks, pred_masks, gt_skels)
     elif localization_criterion == "cldice":
-        scores, gt_cov = cldice_matrix(gt_masks, pred_masks)
+        scores, gt_cov = cldice_matrix(gt_masks, pred_masks, gt_skels)
     else:
         raise ValueError(localization_criterion)
 
@@ -210,7 +252,7 @@ def evaluate_labels(
         fscore = (2 * precision * recall / (precision + recall)
                   if precision + recall > 0 else 0.0)
         ap = tp / max(tp + fp + fn, 1)
-        key = "th_" + str(round(th, 2)).replace(".", "_")
+        key = _th_key(th)
         entry = {
             "AP": ap, "AP_TP": tp, "AP_FP": fp, "AP_FN": fn,
             "precision": precision, "recall": recall, "fscore": fscore,
@@ -230,7 +272,7 @@ def evaluate_labels(
     if want_gt_skel:
         flat_pred = (pred_labels if pred_labels.ndim <= 3
                      else np.max(pred_labels, axis=0))
-        per_gt = union_skel_coverage(gt_masks, flat_pred > 0)
+        per_gt = union_skel_coverage(gt_masks, flat_pred > 0, gt_skels)
         cov = float(np.mean(per_gt)) if n_gt else 0.0
         result["general"]["gt_skel_coverage"] = per_gt.tolist()
         result["general"]["avg_gt_skel_coverage"] = cov
@@ -299,12 +341,11 @@ def average_score_over_instances(metric_dicts: dict,
         gt_covs += [float(c) for c in
                     md["general"].get("gt_skel_coverage", [])]
         for t in thresholds:
-            key = "th_" + str(t).replace(".", "_")
-            cm = md["confusion_matrix"][key]
+            cm = md["confusion_matrix"][_th_key(t)]
             tp[t] += cm["AP_TP"]
             fp[t] += cm["AP_FP"]
             fn[t] += cm["AP_FN"]
-            if t == 0.5:
+            if abs(t - 0.5) < 1e-9:
                 false_split += cm["false_split"]
                 false_merge += cm["false_merge"]
     for t in thresholds:

@@ -80,9 +80,11 @@ def main():
     gt_affs = labels_to_affinities_multi(sample.labels, np.array(ps))
 
     # A: fg / numinst quality
-    numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
-    for i, t in enumerate((0.9, 0.1)):
-        numinst[prob[i + 1] > t] = i + 1
+    from patchperpix_tpu.assembly.vote_instances import numinst_from_probs
+
+    numinst = numinst_from_probs(
+        prob, VoteInstancesParams(patchshape=ps,
+                                  numinst_threshs=(0.9, 0.1)))
     fg = numinst > 0
     iou_fg = (fg & gt_fg).sum() / max((fg | gt_fg).sum(), 1)
     acc_ni = (numinst == gt_numinst)[gt_fg | fg].mean()

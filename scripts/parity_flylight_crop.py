@@ -30,8 +30,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-FIXTURE = "data/JRC_SS05008-20160318_24_B2_crop.zarr"
-OUT_DIR = "parity"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(_REPO, "data/JRC_SS05008-20160318_24_B2_crop.zarr")
+OUT_DIR = os.path.join(_REPO, "parity")
 
 
 def summarize(res: dict) -> dict:
@@ -170,10 +171,11 @@ def trained_e2e(sample, iters: int, out_dir: str, big: bool = False,
 
     h1, h2 = predict_volume_device(model, params, sample.raw, mcfg,
                                    crop, crop)
-    prob = np.asarray(h2, np.float32)
-    numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
-    for i, t in enumerate((0.9, 0.1)):
-        numinst[prob[i + 1] > t] = i + 1
+    from patchperpix_tpu.assembly.vote_instances import numinst_from_probs
+
+    numinst = numinst_from_probs(
+        np.asarray(h2, np.float32),
+        VoteInstancesParams(patchshape=ps, numinst_threshs=(0.9, 0.1)))
     fg = numinst > 0
 
     # flylight.toml assembly settings (patch_threshold 0.9)
@@ -206,7 +208,11 @@ def trained_e2e_from_exp(sample, exp_base: str, checkpoint: int | None):
     if checkpoint is None:
         from patchperpix_tpu.cli import get_checkpoint_list
 
-        checkpoint = get_checkpoint_list(os.path.join(exp_base, "train"))[-1]
+        cps = get_checkpoint_list(os.path.join(exp_base, "train"))
+        if not cps:
+            raise SystemExit(f"no checkpoints in {exp_base}/train — "
+                             "did training reach its first checkpoint?")
+        checkpoint = cps[-1]
     inst_dir = os.path.join(exp_base, "test", "instanced", str(checkpoint))
     base = os.path.splitext(os.path.basename(FIXTURE))[0]
     path = os.path.join(inst_dir, base + ".hdf")
@@ -227,17 +233,24 @@ def trained_e2e_from_exp(sample, exp_base: str, checkpoint: int | None):
 def main():
     from patchperpix_tpu.train import load_sample
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    iters = int(args[0]) if args else 3000
     big = "--big" in sys.argv
     skip_oracle = "--skip-oracle" in sys.argv
     resume = "--resume" in sys.argv
     from_exp = None
-    if "--from-exp" in sys.argv:
-        from_exp = sys.argv[sys.argv.index("--from-exp") + 1]
     checkpoint = None
-    if "--checkpoint" in sys.argv:
-        checkpoint = int(sys.argv[sys.argv.index("--checkpoint") + 1])
+    argv = sys.argv[1:]
+    consumed = set()
+    if "--from-exp" in argv:
+        i = argv.index("--from-exp")
+        from_exp = argv[i + 1]
+        consumed |= {i, i + 1}
+    if "--checkpoint" in argv:
+        i = argv.index("--checkpoint")
+        checkpoint = int(argv[i + 1])
+        consumed |= {i, i + 1}
+    args = [a for j, a in enumerate(argv)
+            if j not in consumed and not a.startswith("--")]
+    iters = int(args[0]) if args else 3000
     os.makedirs(OUT_DIR, exist_ok=True)
     sample = load_sample(FIXTURE, "volumes/raw", "volumes/gt_instances",
                          clipmax=1500)
@@ -246,8 +259,9 @@ def main():
     results = {"fixture": FIXTURE,
                "note": ("single-crop sanity anchor; BBBC010/dsb2018/ISBI "
                         "raw data are not available in this environment")}
-    if skip_oracle and os.path.exists(res_path):
-        results = json.load(open(res_path))
+    if skip_oracle:
+        if os.path.exists(res_path):
+            results = json.load(open(res_path))
     else:
         print("== oracle assembly ==", flush=True)
         results["oracle_assembly"] = oracle_assembly(sample)
