@@ -280,3 +280,32 @@ def test_partly_excludes_unlabeled_region_fp():
     assert part["confusion_matrix"]["th_0_5"]["AP_FP"] == 0
     assert part["confusion_matrix"]["th_0_5"]["AP_TP"] == 1
     assert part["confusion_matrix"]["th_0_5"]["fscore"] == 1.0
+
+
+def test_keep_gt_shape_flat_volume_falls_back():
+    """A flat (Z, Y, X) GT passed with keep_gt_shape=True must NOT be
+    scored as per-slice instances: slices holding several ids disable the
+    stack interpretation."""
+    gt = np.zeros((4, 20, 20), dtype=np.int32)  # flat 3D volume, 2 ids
+    gt[1:3, 2:8, 2:8] = 1
+    gt[1:3, 12:18, 12:18] = 2
+    pred = gt.copy()
+    res = evaluate_labels(pred, gt, localization_criterion="iou",
+                          assignment_strategy="hungarian",
+                          keep_gt_shape=True)
+    assert res["general"]["Num GT"] == 2  # not 4 slice-instances
+    assert res["confusion_matrix"]["th_0_5"]["fscore"] == 1.0
+
+
+def test_fold_average_threshold_keys_float_noise():
+    """average_score_over_instances must find evaluate_labels' threshold
+    keys even for float-noise thresholds like np.arange's 0.30000000004."""
+    from patchperpix_tpu.evaluate.instance_metrics import (
+        average_score_over_instances)
+
+    gt, pred = _gt_pred_perfect()
+    ths = tuple(np.arange(0.1, 1.0, 0.1))  # noisy floats
+    res = evaluate_labels(pred, gt, thresholds=ths)
+    avS, counts = average_score_over_instances({"s": res}, thresholds=ths)
+    assert avS > 0.9
+    assert counts["tp"] == [2] * 9
