@@ -280,7 +280,12 @@ def train(args, config, paths):
     nc = _net_config(paths, "train_net")
 
     aug = config.get("training", {}).get("augmentation", {})
+    # SimpleAugment toggles (ref augmentation.simple section,
+    # train.py:270-274); booleans here, default on
+    simple = aug.get("simple", {})
     acfg = AugmentConfig(
+        mirror=bool(simple.get("mirror", True)),
+        transpose=bool(simple.get("transpose", True)),
         elastic="elastic" in aug,
         control_point_spacing=tuple(aug.get("elastic", {}).get(
             "control_point_spacing", (20, 20, 20))),
