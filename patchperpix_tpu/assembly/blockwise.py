@@ -129,13 +129,17 @@ class ZarrAffReader:
         sp = tuple(int(s) for s in sp)
         self.lift_2d = len(sp) == 2
         self.spatial_shape = (1,) + sp if self.lift_2d else sp
-        # logits detection over the full CENTER channel with the same
-        # min<0 AND max>1 rule as load_affinities (a small corner probe
-        # with an OR rule mis-detected stores whose corner was zero-fill
-        # or whose probabilities hug 0.5)
+        # logits detection with the same min<0 AND max>1 rule as
+        # load_affinities, probed over the center + first + last channels
+        # (the whole (P, vol) stack stays out of core; center-only probing
+        # could miss a logits store whose center never exceeds +1)
         self.is_logits = False  # read_channel must not sigmoid the probe
-        center = self.read_channel(self.P // 2)
-        self.is_logits = bool(center.min() < 0 and center.max() > 1)
+        lo, hi = np.inf, -np.inf
+        for chan in {0, self.P // 2, self.P - 1}:
+            c = self.read_channel(chan)
+            lo = min(lo, float(c.min()))
+            hi = max(hi, float(c.max()))
+        self.is_logits = bool(lo < 0 and hi > 1)
 
     def _read_raw(self, start, stop) -> np.ndarray:
         bb = tuple(slice(int(a), int(b)) for a, b in zip(start, stop))
@@ -234,8 +238,29 @@ class ZarrAffReader:
         self.io.close()
 
 
-def _block_store_path(result_folder: str, base: str) -> str:
-    return os.path.join(result_folder, base + "_blocks")
+def _params_fingerprint(params: VoteInstancesParams, chunksize) -> str:
+    """Short hash of every param that changes per-block RESULTS, so a
+    restart-resume store is never reused across incompatible configs."""
+    import hashlib
+
+    keys = ("patchshape", "patch_threshold", "fc_threshold", "bg_mode",
+            "weight_mode", "consensus_norm_aff", "patch_graph_norm_aff",
+            "rank_norm_patch_score", "rank_int_counter", "engine",
+            "overlapping_inst", "select_patches_for_sparse_data",
+            "removeIntersection", "skipThinCover", "sample", "seed",
+            "max_total_patch_distance_in_ps_multiples", "score_threshold")
+    sig = repr([(k, getattr(params, k, None)) for k in keys]
+               + [tuple(int(c) for c in np.asarray(chunksize))])
+    return hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+
+def _block_store_path(result_folder: str, base: str,
+                      params: VoteInstancesParams = None,
+                      chunksize=None) -> str:
+    suffix = ""
+    if params is not None:
+        suffix = "_" + _params_fingerprint(params, chunksize)
+    return os.path.join(result_folder, base + "_blocks" + suffix)
 
 
 def _save_block(store: str | None, key, pairs, weights):
@@ -303,10 +328,15 @@ def compute_blocks(
     offsets = get_offsets(bb_stop - bb_start, chunksize)
     block_results = {} if block_results is None else block_results
 
+    use_jax_engine = params.engine in ("jax", "pallas", "xla")
     block_params = VoteInstancesParams(
         **{**params.__dict__,
            "blockwise": True, "return_intermediates": True,
-           "skeletonize_foreground": False})
+           "skeletonize_foreground": False,
+           # per-block runs are single-device programs: z-sharding and
+           # block-device distribution must not recurse into a block
+           # (center_valid + sharded asserts in to_instance_seg)
+           "sharded_devices": 0, "block_devices": 0})
 
     def run_block(off):
         key = tuple(int(o) for o in off)
@@ -336,6 +366,11 @@ def compute_blocks(
         mask_b = np.logical_and(mask_b, core)
 
         cv = _global_center_valid(w_start, fg_b.shape, fg.shape, rad)
+        if cv is not None and not use_jax_engine:
+            # host engines have no center_valid gating; border blocks
+            # fall back to window-interior semantics (documented delta
+            # vs the whole-volume path for the numpy golden engine)
+            cv = None
         bparams = block_params if cv is None else VoteInstancesParams(
             **{**block_params.__dict__, "center_valid": cv})
         res = to_instance_seg(affs_b, fg_b, mask_b, ni_b, bparams)
@@ -384,7 +419,7 @@ def compute_blocks(
             with jax.default_device(dev):
                 return run_block(off)
 
-        with ThreadPoolExecutor(max_workers=len(devices)) as ex:
+        with ThreadPoolExecutor(max_workers=num_parallel_blocks) as ex:
             for key, res in ex.map(run_on_device, todo):
                 block_results[key] = res
     elif num_parallel_blocks > 1 and len(todo) > 1:
@@ -450,32 +485,35 @@ def blockwise_vote_instances_zarr(
     from .vote_instances import _derive_fg_numinst
 
     base = os.path.splitext(os.path.basename(aff_file))[0]
-    store = (_block_store_path(result_folder, base)
+    store = (_block_store_path(result_folder, base, params, chunksize)
              if result_folder else None)
 
     P = int(np.prod(params.patchshape))
     reader = ZarrAffReader(aff_file, params.aff_key, P)
-    numinst, fg = _derive_fg_numinst(
-        vio.open_volume(aff_file, mode="r"), params,
-        center_channel_reader=lambda: reader.read_channel(P // 2))
+    try:
+        numinst, fg = _derive_fg_numinst(
+            vio.open_volume(aff_file, mode="r"), params,
+            center_channel_reader=lambda: reader.read_channel(P // 2))
 
-    fg = fg.astype(bool)
-    if params.ignore_small_comps > 0:
-        fg = clean_mask(fg, params.ignore_small_comps)
-    mask_to_cover = fg.copy()
-    if params.skeletonize_foreground:
-        mask_to_cover = skeletonize(mask_to_cover) > 0
-    mask_to_cover[numinst > 1] = False
+        fg = fg.astype(bool)
+        if params.ignore_small_comps > 0:
+            fg = clean_mask(fg, params.ignore_small_comps)
+        mask_to_cover = fg.copy()
+        if params.skeletonize_foreground:
+            mask_to_cover = skeletonize(mask_to_cover) > 0
+        mask_to_cover[numinst > 1] = False
 
-    if not fg.any():
-        return (np.zeros(fg.shape, np.uint16), fg.astype(np.uint8))
+        if not fg.any():
+            return (np.zeros(fg.shape, np.uint16), fg.astype(np.uint8))
 
-    block_results = compute_blocks(
-        reader, fg, mask_to_cover, numinst, params, chunksize,
-        store=store, num_parallel_blocks=params.num_parallel_blocks,
-        block_devices=params.block_devices)
-    instances = stitch_blocks(reader, fg, numinst, block_results, params)
-    reader.close()
+        block_results = compute_blocks(
+            reader, fg, mask_to_cover, numinst, params, chunksize,
+            store=store, num_parallel_blocks=params.num_parallel_blocks,
+            block_devices=params.block_devices)
+        instances = stitch_blocks(reader, fg, numinst, block_results,
+                                  params)
+    finally:
+        reader.close()
     return instances, fg.astype(np.uint8)
 
 

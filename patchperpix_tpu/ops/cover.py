@@ -40,7 +40,10 @@ def _greedy_cover_volume(affs, centers, overlap_rows, mask, interior,
 
     running0 = _pad_vol(mask, rad)
     interior_pad = _pad_vol(interior, rad)
-    rem0 = jnp.sum(running0 * interior_pad)
+    # exact integer remaining-pixel count: a float32 running sum loses
+    # integer exactness past 2^24 interior pixels (>=350^3 volumes) and
+    # could end the cover early/late vs the reference's exact count
+    rem0 = jnp.sum((running0 * interior_pad) > 0.5, dtype=jnp.int32)
 
     def run_threshold(carry, pix_th):
         def body(i, st):
@@ -58,7 +61,8 @@ def _greedy_cover_volume(affs, centers, overlap_rows, mask, interior,
                 running, selected, rem = st
                 newly = pmask * win
                 iwin = jax.lax.dynamic_slice(interior_pad, start, ps)
-                rem = rem - jnp.sum(newly * iwin)
+                rem = rem - jnp.sum((newly * iwin) > 0.5,
+                                    dtype=jnp.int32)
                 running = jax.lax.dynamic_update_slice(
                     running, win - newly, start)
                 return running, selected.at[i].set(True), rem

@@ -95,13 +95,16 @@ def sharded_consensus_and_rank(
         f"use fewer devices or a larger volume")
 
     has_overlap = overlap is not None
-    ov = overlap if has_overlap else jnp.zeros(affs.shape[1:], bool)
 
-    def worker(affs_blk, ov_blk):
+    def worker(affs_blk, ov_blk=None):
         # affs_blk: (P, local, Y, X)
         ext = _halo_exchange(affs_blk, halo, axis, spatial_axis=1)
-        ov_ext = _halo_exchange(ov_blk.astype(jnp.float32), halo, axis,
-                                spatial_axis=0) > 0.5
+        # overlap halo only when an overlap mask exists (a dummy exchange
+        # would cost a full-volume transfer + 2 ppermutes per call)
+        ov_ext = None
+        if has_overlap:
+            ov_ext = _halo_exchange(ov_blk.astype(jnp.float32), halo,
+                                    axis, spatial_axis=0) > 0.5
 
         # center validity in GLOBAL coordinates: global interior gating is
         # already handled by zero halos at the edge shards; halo centers
@@ -113,11 +116,9 @@ def sharded_consensus_and_rank(
         center_valid = jnp.broadcast_to(
             valid_z[:, None, None], ext.shape[1:])
 
-        cons_ext = consensus_array(ext, cfg,
-                                   overlap=ov_ext if has_overlap else None,
+        cons_ext = consensus_array(ext, cfg, overlap=ov_ext,
                                    center_valid=center_valid)
-        scores_ext = rank_scores(ext, cons_ext, cfg,
-                                 overlap=ov_ext if has_overlap else None,
+        scores_ext = rank_scores(ext, cons_ext, cfg, overlap=ov_ext,
                                  center_valid=center_valid)
         # crop the halo back off (z is axis ndim of cons, axis 0 of scores)
         sl = [slice(None)] * cons_ext.ndim
@@ -136,10 +137,11 @@ def sharded_consensus_and_rank(
     spec_cons = P(*([None] * ndim), axis, None, None)
     spec_scores = P(axis, None, None)
 
-    kwargs = dict(mesh=mesh, in_specs=(spec_affs, spec_ov),
+    in_specs = (spec_affs, spec_ov) if has_overlap else (spec_affs,)
+    kwargs = dict(mesh=mesh, in_specs=in_specs,
                   out_specs=(spec_cons, spec_scores))
     try:
         fn = shard_map(worker, check_vma=False, **kwargs)
     except TypeError:  # older jax spelling
         fn = shard_map(worker, check_rep=False, **kwargs)
-    return fn(affs, ov)
+    return fn(affs, overlap) if has_overlap else fn(affs)

@@ -126,8 +126,13 @@ def test_blockwise_zarr_out_of_core(tmp_path):
     pairs = set(zip(wl[wl > 0].tolist(), bl[wl > 0].tolist()))
     assert len(pairs) == 3
 
-    # per-block files persisted
-    store = str(tmp_path / "sample_blocks")
+    # per-block files persisted (store dir carries a params fingerprint
+    # so resume never mixes configs)
+    import glob as _glob
+
+    stores = _glob.glob(str(tmp_path / "sample_blocks*"))
+    assert len(stores) == 1
+    store = stores[0]
     files = sorted(os.listdir(store))
     assert files and all(f.endswith(".npz") for f in files)
 
