@@ -139,7 +139,9 @@ class ZarrAffReader:
             c = self.read_channel(chan)
             lo = min(lo, float(c.min()))
             hi = max(hi, float(c.max()))
-        self.is_logits = bool(lo < 0 and hi > 1)
+        # same OR rule as load_affinities (either bound violation proves
+        # the store holds logits, eps for f16 round-off)
+        self.is_logits = bool(lo < -1e-3 or hi > 1 + 1e-3)
 
     def _read_raw(self, start, stop) -> np.ndarray:
         bb = tuple(slice(int(a), int(b)) for a, b in zip(start, stop))

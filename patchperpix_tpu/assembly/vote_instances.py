@@ -218,6 +218,18 @@ def _pad_all(arrays, rad):
     return out
 
 
+def _device_paint_src(affs_dev, comps) -> dict:
+    """One batched device gather of the component nodes' patch columns ->
+    sparse-dict painting source (only K*P floats cross the D2H relay)."""
+    nodes = [idx for comp in comps for idx in comp]
+    if not nodes:
+        return {}
+    pts = np.asarray(nodes, dtype=np.int64)
+    cols = np.asarray(affs_dev[(slice(None),) + tuple(pts.T)])
+    return {tuple(int(x) for x in c): cols[:, i]
+            for i, c in enumerate(pts)}
+
+
 def to_instance_seg(
     pred_affs: np.ndarray,
     foreground: np.ndarray,
@@ -245,6 +257,11 @@ def to_instance_seg(
         assert not params.blockwise, "can only pad whole volumes"
         pred_affs, foreground, mask_to_cover, numinst = _pad_all(
             [pred_affs, foreground, mask_to_cover, numinst], rad)
+        # _pad_all's np.pad pulls a device stack to host: recompute the
+        # residency flag or every jitted stage would re-upload the full
+        # (P, *vol) array per call
+        affs_on_device = (params.engine in ("jax", "pallas")
+                          and not isinstance(pred_affs, np.ndarray))
 
     foreground = foreground.astype(bool)
     vol_shape = foreground.shape
@@ -265,7 +282,14 @@ def to_instance_seg(
         mask_to_cover = skeletonize(mask_to_cover) > 0
     mask_to_cover[overlap_mask > 0] = False
 
-    instances = np.zeros(vol_shape, dtype=np.uint16)
+    # empty-result template matches the output layout: multi-channel modes
+    # return (C, *vol) stacks (components_to_instances), and
+    # finalize_and_write's channel-indexed fg crop would crash on a 3D
+    # zeros volume
+    multi_out = (params.one_instance_per_channel
+                 or params.no_overlap_per_channel)
+    instances = np.zeros(((1,) + tuple(vol_shape)) if multi_out
+                         else vol_shape, dtype=np.uint16)
     if np.count_nonzero(mask_to_cover[radslice]) == 0:
         logger.info("no fg found, returning")
         if params.return_intermediates:
@@ -278,22 +302,31 @@ def to_instance_seg(
             and params.selected_patch_pairs is not None:
         pairs = np.asarray(params.selected_patch_pairs)
         weights = np.asarray(params.aff_graph, dtype=np.float32)
+        if params.return_intermediates:
+            # caller wants the (pairs, weights) contract, not labels
+            # (e.g. store_intermediates after a vote_debug injection)
+            return pairs, weights
         comps = ref.graph_components(pairs, weights, mws=params.mws)
-        paint_src = pred_affs
-        if affs_on_device:
-            nodes = [idx for comp in comps for idx in comp]
-            paint_src = {}
-            if nodes:
-                pts = np.asarray(nodes, dtype=np.int64)
-                cols = np.asarray(pred_affs[(slice(None),) + tuple(pts.T)])
-                paint_src = {tuple(int(x) for x in c): cols[:, i]
-                             for i, c in enumerate(pts)}
+        paint_src = (_device_paint_src(pred_affs, comps)
+                     if affs_on_device else pred_affs)
         instances = ref.components_to_instances(
             comps, paint_src, ps, vol_shape,
             patch_threshold=params.patch_threshold,
             one_instance_per_channel=params.one_instance_per_channel,
             no_overlap_per_channel=params.no_overlap_per_channel)
         return _maybe_unpad(instances, foreground, rad, params)
+
+    if params.skipConsensus:
+        # reference semantics (vote_instances.py:305-314): consensus=None
+        # is only viable when nothing downstream consumes it — i.e. when
+        # both the pair list AND the graph weights are injected, which the
+        # precomputed-graph shortcut above already handles.  Reaching this
+        # point with the flag set is a config error; fail loudly instead
+        # of silently computing the consensus anyway.
+        raise ValueError(
+            "skipConsensus=true requires precomputed selected_patch_pairs "
+            "+ aff_graph (ranking and graph weights both consume the "
+            "consensus array)")
 
     ccfg = params.consensus_config()
     use_jax = params.engine in ("jax", "pallas", "xla")
@@ -419,7 +452,7 @@ def to_instance_seg(
             pred_affs = np.asarray(pred_affs, dtype=np.float32)
         all_patches = sparsify_patches(all_patches,
                                        params.isbi_sparsify_stride)
-        if params.sample < 1.0:
+        if params.sample < 1.0 and len(all_patches) > 0:
             # random patch-list subsample (isbi_hacks.py:25-28)
             rng_s = np.random.RandomState(params.seed)
             n_keep = max(1, int(params.sample * len(all_patches)))
@@ -551,20 +584,8 @@ def to_instance_seg(
         comps = graph_components_device(pairs, weights)
     else:
         comps = ref.graph_components(pairs, weights, mws=params.mws)
-    if affs_on_device:
-        # one batched device gather of the component nodes' patch columns
-        # -> sparse-dict painting (only K*P floats cross to host)
-        nodes = [idx for comp in comps for idx in comp]
-        if nodes:
-            pts = np.asarray(nodes, dtype=np.int64)
-            cols = np.asarray(
-                pred_affs_dev[(slice(None),) + tuple(pts.T)])
-            paint_src = {tuple(int(x) for x in c): cols[:, i]
-                         for i, c in enumerate(pts)}
-        else:
-            paint_src = {}
-    else:
-        paint_src = pred_affs
+    paint_src = (_device_paint_src(pred_affs_dev, comps)
+                 if affs_on_device else pred_affs)
     instances = ref.components_to_instances(
         comps, paint_src, ps, vol_shape,
         patch_threshold=params.patch_threshold,
@@ -651,7 +672,10 @@ def load_affinities(aff_file: str, params: VoteInstancesParams):
     affs = np.squeeze(affs)
     if affs.ndim == 3:  # 2D data -> (P, 1, H, W)
         affs = affs[:, None]
-    if affs.min() < 0 and affs.max() > 1:
+    # probabilities live in [0, 1]: EITHER bound violation proves logits
+    # (AND missed one-sided logit volumes, e.g. all-background blocks with
+    # only negative logits); epsilon tolerates f16 storage round-off
+    if affs.min() < -1e-3 or affs.max() > 1 + 1e-3:
         affs = expit(affs)
 
     numinst, foreground = _derive_fg_numinst(

@@ -299,9 +299,18 @@ def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
 
     acc, _ = jax.lax.scan(body, jnp.zeros(vol_shape, jnp.float32),
                           jnp.arange(P))
+    return rank_epilogue(acc, affs, hi, tgt, cfg, center_valid)
 
-    # fgCnt (rankPatches.cu:139): ordered pairs (q hi, r target-eligible,
-    # q != r) minus hi-hi pairs with r <= q.
+
+def rank_epilogue(acc, affs, hi, tgt, cfg: ConsensusConfig,
+                  center_valid=None) -> jnp.ndarray:
+    """fgCnt normalization + center gating + sentinel — shared by the XLA
+    rank and the Pallas rank so the two engines can never diverge here.
+
+    fgCnt (rankPatches.cu:139): ordered pairs (q hi, r target-eligible,
+    q != r) minus hi-hi pairs with r <= q."""
+    vol_shape = affs.shape[1:]
+    rad = cfg.rad
     n_tgt = jnp.sum(tgt, axis=0)
     n_hi = jnp.sum(hi, axis=0)
     fg_cnt = n_hi * (n_tgt - 1.0) - n_hi * (n_hi - 1.0) / 2.0
@@ -309,11 +318,12 @@ def rank_scores(affs: jnp.ndarray, cons: jnp.ndarray, cfg: ConsensusConfig,
     # the CUDA center gate is only fg & interior (not the overlap mask)
     fg = affs[cfg.mid] > cfg.patch_threshold
     interior = jnp.ones(vol_shape, dtype=bool)
-    for ax in range(ndim):
+    for ax in range(len(vol_shape)):
         if rad[ax] == 0:
             continue
         idx = jax.lax.broadcasted_iota(jnp.int32, vol_shape, ax)
-        interior &= (idx >= int(rad[ax])) & (idx < vol_shape[ax] - int(rad[ax]))
+        interior &= (idx >= int(rad[ax])) & \
+            (idx < vol_shape[ax] - int(rad[ax]))
     center_ok = fg & interior
     if center_valid is not None:
         center_ok = center_ok & center_valid

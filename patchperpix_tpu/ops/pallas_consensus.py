@@ -89,6 +89,10 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
             cons_ref, *refs,
             ps, my, mx, th, weight_mode, n_dx, Y, X, fuse_norm,
             with_counts):
+    # count accumulation is only needed for in-kernel normalization or an
+    # explicit counts output; otherwise it would double the hot-loop VPU
+    # work for a result nobody reads
+    need_cnt = fuse_norm or with_counts
     # counts accumulate in VMEM scratch; with fuse_norm the normalization
     # happens in-kernel on the last qz step and the count array never
     # reaches HBM (it is half the consensus memory/traffic)
@@ -147,9 +151,9 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
                             contrib = pp
                         else:
                             contrib = sc
-                        cnt = hl * (hr + lr) + ll * hr
                         acc_c = acc_c + contrib
-                        acc_n = acc_n + cnt
+                        if need_cnt:
+                            acc_n = acc_n + hl * (hr + lr) + ll * hr
                     return acc_c, acc_n
 
                 acc0 = jnp.zeros((Y, X), jnp.float32)
@@ -161,9 +165,11 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
                     spm = jnp.logical_not(
                         (qz2 == qz) & (dy == 0)).astype(jnp.float32)
                     acc_c = acc_c * spm
-                    acc_n = acc_n * spm
+                    if need_cnt:
+                        acc_n = acc_n * spm
                 cons_s[dyi, k] += acc_c
-                cnt_s[dyi, k] += acc_n
+                if need_cnt:
+                    cnt_s[dyi, k] += acc_n
             return ()
 
         jax.lax.fori_loop(0, 2 * psy - 1, dy_body, ())
@@ -441,23 +447,8 @@ def rank_scores_pallas(affs: jnp.ndarray, cons_sym: jnp.ndarray,
         interpret=interpret,
     )(L[0], L[1], R[0], R[1], s_pad)
 
-    # fgCnt + center gating + sentinel (rankPatches.cu:139; identical to
-    # consensus_jax.rank_scores) — cheap vectorized XLA epilogue
-    vol_shape = (Z, Y, X)
-    n_tgt = jnp.sum(tgt, axis=0)
-    n_hi = jnp.sum(hi, axis=0)
-    fg_cnt = n_hi * (n_tgt - 1.0) - n_hi * (n_hi - 1.0) / 2.0
-    fg = affs[cfg.mid] > cfg.patch_threshold
-    interior = jnp.ones(vol_shape, dtype=bool)
-    for ax in range(3):
-        if rad[ax] == 0:
-            continue
-        idx = jax.lax.broadcasted_iota(jnp.int32, vol_shape, ax)
-        interior &= (idx >= int(rad[ax])) & \
-            (idx < vol_shape[ax] - int(rad[ax]))
-    center_ok = fg & interior
-    if center_valid is not None:
-        center_ok = center_ok & center_valid
-    sentinel = -1.0 if cfg.norm_rank else -9999999.0
-    score = acc / jnp.maximum(1.0, fg_cnt) if cfg.norm_rank else acc
-    return jnp.where(center_ok, score, sentinel).astype(jnp.float32)
+    # fgCnt + center gating + sentinel: the exact epilogue the XLA rank
+    # uses (shared so the PPP_DISABLE_PALLAS_RANK fallback cannot diverge)
+    from .consensus_jax import rank_epilogue
+
+    return rank_epilogue(acc, affs, hi, tgt, cfg, center_valid)
