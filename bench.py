@@ -226,6 +226,10 @@ def measure_baseline():
                                            predict_baseline_cpu)
 
     out = {}
+    if os.path.exists(BASELINE_FILE):
+        # keep previously measured keys (e.g. the expensive
+        # t_assemble_reference_full_s from benchmarks/reference_cpu.py)
+        out.update(json.load(open(BASELINE_FILE)))
     if os.path.exists("bench_baseline_assembly.json"):
         out.update(json.load(open("bench_baseline_assembly.json")))
     else:
