@@ -167,35 +167,11 @@ def _build_model(config) -> tuple[PPPModel, PPPConfig]:
 
 
 def _load_params(model, mcfg, paths, step, config, use_swa=False):
-    """Restore checkpoint params for inference.
-
-    Restores against an abstract numpy template so a checkpoint written on
-    one backend (e.g. the TPU trainer) loads on any other (orbax otherwise
-    pins the saved device shardings and fails off-device)."""
-    import jax
-    import jax.numpy as jnp
-
     from .train.trainer import checkpoint_path, load_checkpoint
 
-    try:  # valid-padding models need a real-sized trace input
-        spatial = tuple(_net_config(paths, "test_net")["input_shape"])
-    except Exception:
-        spatial = (16,) * len(mcfg.patchshape_squeezed)
-    tmpl_params = jax.eval_shape(
-        lambda r: model.init(jax.random.PRNGKey(0), r,
-                             method=PPPModel.full_init),
-        jnp.zeros((1, mcfg.num_channels) + spatial, jnp.float32))
-    tmpl_params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
-                               tmpl_params)
-    path = checkpoint_path(paths["train"], step)
-    try:
-        state = load_checkpoint(path, {"params": tmpl_params,
-                                       "swa_params": tmpl_params}
-                                if use_swa else {"params": tmpl_params})
-    except Exception:
-        # checkpoints without swa_params / with extra keys: fall back to
-        # whole-state restore (works when backends match)
-        state = load_checkpoint(path)
+    # load_checkpoint is backend-portable (re-targets saved shardings to
+    # the local device when they don't resolve, e.g. TPU ckpt on CPU)
+    state = load_checkpoint(checkpoint_path(paths["train"], step))
     if use_swa:
         # stochastic weight averaging weights (ref predict_no_gp.py:67-72
         # loads "swa_model" state); fall back to the raw params when the

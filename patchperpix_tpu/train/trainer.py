@@ -82,12 +82,27 @@ def save_checkpoint(path: str, state: dict):
 
 
 def load_checkpoint(path: str, template: dict | None = None) -> dict:
+    """Restore a checkpoint; portable across backends.
+
+    A checkpoint written on one backend (TPU trainer) must load on any
+    other (CPU inference/tests): when the saved device shardings don't
+    resolve locally, re-target every array to the local default device
+    via the checkpoint's own metadata."""
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
-    if template is None:
-        return ckpt.restore(os.path.abspath(path))
-    return ckpt.restore(os.path.abspath(path), target=template)
+    path = os.path.abspath(path)
+    try:
+        if template is None:
+            return ckpt.restore(path)
+        return ckpt.restore(path, target=template)
+    except Exception:
+        meta = ckpt.metadata(path).item_metadata
+        sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh),
+            dict(meta))
+        return ckpt.restore(path, abstract)
 
 
 def make_optimizer(cfg: TrainConfig):
