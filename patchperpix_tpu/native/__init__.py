@@ -63,3 +63,22 @@ def skeletonize_3d_native(volume: np.ndarray) -> np.ndarray | None:
     nz, ny, nx = vol.shape
     fn(vol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nz, ny, nx)
     return vol
+
+
+def skeletonize_2d_native(image: np.ndarray) -> np.ndarray | None:
+    """In-C++ 2D thinning (8/4-connectivity, exact python-fallback
+    semantics); returns None if the native lib is unavailable."""
+    lib = _build_and_load("thinning")
+    if lib is None:
+        return None
+    try:
+        fn = lib.ppp_skeletonize_2d
+    except AttributeError:  # stale cached lib without the 2D entry
+        return None
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+                   ctypes.c_longlong]
+    img = np.ascontiguousarray(image > 0, dtype=np.uint8)
+    ny, nx = img.shape
+    fn(img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ny, nx)
+    return img

@@ -213,3 +213,166 @@ long long ppp_skeletonize_3d(uint8_t *vol, long long nz, long long ny,
 }
 
 }  // extern "C"
+
+// ---- 2D thinning (8-connectivity fg / 4-connectivity bg) ----------------
+//
+// Exact counterpart of skeleton.py's _is_simple_2d/_thin 2D path (the
+// python fallback used for BBBC010-style 2D evaluation): the 8-bit
+// neighbor configuration is fully enumerable, so the LUT is precomputed.
+
+namespace {
+
+inline int bit_index_2d(int dy, int dx) {
+    int i = (dy + 1) * 3 + (dx + 1);
+    return i < 4 ? i : i - 1;  // skip center (4)
+}
+
+bool compute_simple_2d(uint32_t cfg) {
+    bool occ[9];
+    for (int i = 0; i < 9; ++i) occ[i] = false;
+    occ[4] = true;
+    for (int dy = -1; dy <= 1; ++dy)
+        for (int dx = -1; dx <= 1; ++dx) {
+            if (!dy && !dx) continue;
+            if (cfg >> bit_index_2d(dy, dx) & 1u)
+                occ[(dy + 1) * 3 + (dx + 1)] = true;
+        }
+
+    // (a) exactly one 8-connected fg component among the 8 neighbors
+    {
+        bool visited[9] = {false};
+        int comps = 0;
+        for (int s = 0; s < 9; ++s) {
+            if (s == 4 || !occ[s] || visited[s]) continue;
+            ++comps;
+            if (comps > 1) return false;
+            int stack[9], top = 0;
+            stack[top++] = s;
+            visited[s] = true;
+            while (top) {
+                int v = stack[--top];
+                int vy = v / 3, vx = v % 3;
+                for (int dy = -1; dy <= 1; ++dy)
+                    for (int dx = -1; dx <= 1; ++dx) {
+                        int ny2 = vy + dy, nx2 = vx + dx;
+                        if (ny2 < 0 || ny2 > 2 || nx2 < 0 || nx2 > 2)
+                            continue;
+                        int n = ny2 * 3 + nx2;
+                        if (n == 4 || !occ[n] || visited[n]) continue;
+                        visited[n] = true;
+                        stack[top++] = n;
+                    }
+            }
+        }
+        if (comps != 1) return false;
+    }
+
+    // (b) exactly one 4-connected bg component (over the full 3x3)
+    // 4-adjacent to the center
+    {
+        bool bg[9];
+        for (int i = 0; i < 9; ++i) bg[i] = !occ[i];
+        int comp_of[9];
+        for (int i = 0; i < 9; ++i) comp_of[i] = -1;
+        int comps = 0;
+        const int d4[4][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1}};
+        for (int s = 0; s < 9; ++s) {
+            if (!bg[s] || comp_of[s] >= 0) continue;
+            int id = comps++;
+            int stack[9], top = 0;
+            stack[top++] = s;
+            comp_of[s] = id;
+            while (top) {
+                int v = stack[--top];
+                int vy = v / 3, vx = v % 3;
+                for (auto &d : d4) {
+                    int ny2 = vy + d[0], nx2 = vx + d[1];
+                    if (ny2 < 0 || ny2 > 2 || nx2 < 0 || nx2 > 2) continue;
+                    int n = ny2 * 3 + nx2;
+                    if (!bg[n] || comp_of[n] >= 0) continue;
+                    comp_of[n] = id;
+                    stack[top++] = n;
+                }
+            }
+        }
+        bool adj[16] = {false};
+        int n_adj = 0;
+        const int edges[4] = {1, 7, 3, 5};  // N, S, W, E of center
+        for (int e : edges) {
+            int c = comp_of[e];
+            if (c >= 0 && !adj[c]) {
+                adj[c] = true;
+                ++n_adj;
+            }
+        }
+        if (n_adj != 1) return false;
+    }
+    return true;
+}
+
+uint8_t g_lut2d[256];
+bool g_lut2d_ready = false;
+
+inline bool is_simple_2d(uint32_t cfg) {
+    if (!g_lut2d_ready) {
+        for (uint32_t c = 0; c < 256; ++c)
+            g_lut2d[c] = compute_simple_2d(c) ? 1 : 0;
+        g_lut2d_ready = true;
+    }
+    return g_lut2d[cfg] != 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place thinning of an (ny, nx) uint8 image (0/1); returns removals.
+long long ppp_skeletonize_2d(uint8_t *img, long long ny, long long nx) {
+    auto at = [&](long long y, long long x) -> uint8_t & {
+        return img[y * nx + x];
+    };
+    auto get = [&](long long y, long long x) -> bool {
+        if (y < 0 || y >= ny || x < 0 || x >= nx) return false;
+        return at(y, x) != 0;
+    };
+    auto config = [&](long long y, long long x) -> uint32_t {
+        uint32_t cfg = 0;
+        for (int dy = -1; dy <= 1; ++dy)
+            for (int dx = -1; dx <= 1; ++dx) {
+                if (!dy && !dx) continue;
+                if (get(y + dy, x + dx))
+                    cfg |= 1u << bit_index_2d(dy, dx);
+            }
+        return cfg;
+    };
+
+    const int dirs[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+    long long removed_total = 0;
+    std::vector<long long> cand;
+    bool changed = true;
+    while (changed) {
+        changed = false;
+        for (auto &d : dirs) {
+            cand.clear();
+            for (long long y = 0; y < ny; ++y)
+                for (long long x = 0; x < nx; ++x) {
+                    if (!at(y, x)) continue;
+                    if (get(y + d[0], x + d[1])) continue;
+                    cand.push_back(y * nx + x);
+                }
+            for (long long idx : cand) {
+                long long y = idx / nx, x = idx % nx;
+                if (!at(y, x)) continue;
+                uint32_t cfg = config(y, x);
+                if (__builtin_popcount(cfg) <= 1) continue;  // endpoint
+                if (!is_simple_2d(cfg)) continue;
+                at(y, x) = 0;
+                ++removed_total;
+                changed = true;
+            }
+        }
+    }
+    return removed_total;
+}
+
+}  // extern "C"

@@ -95,6 +95,12 @@ def skeletonize(volume: np.ndarray, native: bool = True) -> np.ndarray:
                          if s == 1 and vol.ndim > 2)
     work = np.squeeze(vol, axis=squeeze_axes) if squeeze_axes else vol
     if work.ndim == 2:
+        if native:
+            from ..native import skeletonize_2d_native
+
+            nat = skeletonize_2d_native(work)
+            if nat is not None:
+                return nat.reshape(vol.shape).astype(np.uint8)
         out = _thin(work, _is_simple_2d, _neighbor_count_2d, _borders_2d)
     elif work.ndim == 3:
         if native:

@@ -66,3 +66,40 @@ def test_native_speed_on_flylight_scale():
     dt = time.perf_counter() - t0
     assert out is not None
     assert dt < 10.0, f"native thinning too slow: {dt:.1f}s"
+
+
+def test_native_2d_matches_python():
+    """2D native thinning (ppp_skeletonize_2d) is bit-identical to the
+    python 8/4-connectivity fallback."""
+    from patchperpix_tpu.native import skeletonize_2d_native
+
+    rng = np.random.RandomState(3)
+    from scipy import ndimage
+
+    for seed in (0, 1):
+        img = (np.random.RandomState(seed).rand(40, 50) > 0.72)
+        img = ndimage.binary_dilation(img, iterations=1).astype(np.uint8)
+        nat = skeletonize_2d_native(img)
+        assert nat is not None
+        py = skeletonize(img, native=False)
+        np.testing.assert_array_equal(nat, py)
+
+    # worm-like elongated shape stays connected
+    img = np.zeros((60, 120), np.uint8)
+    xs = np.arange(10, 110)
+    ys = (30 + 8 * np.sin(xs / 9.0)).astype(int)
+    for dx, x in enumerate(xs):
+        img[ys[dx] - 2:ys[dx] + 3, x] = 1
+    nat = skeletonize_2d_native(img)
+    py = skeletonize(img, native=False)
+    np.testing.assert_array_equal(nat, py)
+    lab, n = ndimage.label(nat, structure=np.ones((3, 3)))
+    assert n == 1
+
+
+def test_native_2d_used_by_default():
+    img = np.zeros((20, 40), np.uint8)
+    img[8:13, 4:36] = 1
+    out = skeletonize(img)
+    assert out.shape == img.shape
+    assert 0 < out.sum() < img.sum()
