@@ -25,7 +25,10 @@ logger = logging.getLogger(__name__)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model", "mcfg", "input_shape"))
+                   static_argnames=("model", "mcfg", "input_shape"),
+                   donate_argnums=(3, 4))  # donate both accumulators:
+                                           # without donation every tile
+                                           # copies the full volumes
 def _fwd_and_place(model, mcfg, params, out1, out2, raw_all, offset,
                    input_shape):
     # module-level jit: repeated pipeline invocations hit the trace cache
@@ -53,15 +56,10 @@ def predict_volume_device(model: PPPModel, params, raw: np.ndarray,
     spatial = np.array(raw.shape[1:])
     input_shape = np.array(input_shape)
     output_shape = np.array(output_shape)
-    context = (input_shape - output_shape) // 2
+    from .predict import pad_to_grid
 
-    shape_padded = np.array(
-        [(int(s) // int(o) + 1) * int(o) + 2 * int(c)
-         for s, o, c in zip(spatial, output_shape, context)])
-    raw_padded = np.pad(
-        raw, [(0, 0)] + [(int(c), int(sp - s - c))
-                         for c, s, sp in zip(context, spatial, shape_padded)],
-        mode="constant")
+    raw_padded, shape_padded, context = pad_to_grid(
+        raw, spatial, input_shape, output_shape)
     raw_dev = jax.device_put(jnp.asarray(raw_padded, jnp.float32))
 
     shifts = enumerate_shifts(shape_padded, input_shape, output_shape)
@@ -79,15 +77,19 @@ def predict_volume_device(model: PPPModel, params, raw: np.ndarray,
     return out1[(slice(None),) + crop], out2[(slice(None),) + crop]
 
 
-@functools.partial(jax.jit, static_argnames=("model", "P"))
-def _dec_scatter(model, P, params, out, flat_code, idx, valid):
+@functools.partial(jax.jit, static_argnames=("model", "P"),
+                   donate_argnums=(2,))  # donate the accumulator
+def _dec_scatter(model, params, out, flat_code, idx, *, P):
     # codes from predict_volume_device already have the code activation
-    # applied (apply_activations)
+    # applied (apply_activations).  The last chunk is edge-padded with a
+    # REAL index (callers pad idx with chunk[0]), so duplicate scatter
+    # targets always carry identical new values — zero-padding instead
+    # made index 0 both a valid fg voxel and padding, and XLA's
+    # arbitrary duplicate winner could keep the stale value.
     codes = flat_code[:, idx].T               # (B, code_units)
     logits = model.apply(params, codes, method=PPPModel.decode)
     patches = jax.nn.sigmoid(logits).reshape(idx.shape[0], P).T
-    patches = jnp.where(valid[None, :], patches, out[:, idx])
-    return out.at[:, idx].set(patches)
+    return out.at[:, idx].set(patches.astype(out.dtype))
 
 
 def decode_volume_device(model: PPPModel, params, code, fg_mask: np.ndarray,
@@ -108,11 +110,8 @@ def decode_volume_device(model: PPPModel, params, code, fg_mask: np.ndarray,
     B = int(batch_size)
     for i in range(0, len(flat_idx), B):
         chunk = flat_idx[i:i + B]
-        n = len(chunk)
-        valid = np.ones(B, bool)
-        if n < B:
-            chunk = np.pad(chunk, (0, B - n))
-            valid[n:] = False
-        out = _dec_scatter(model, P, params, out, flat_code,
-                           jnp.asarray(chunk), jnp.asarray(valid))
+        if len(chunk) < B:  # edge-pad with a real index (see _dec_scatter)
+            chunk = np.pad(chunk, (0, B - len(chunk)), mode="edge")
+        out = _dec_scatter(model, params, out, flat_code,
+                           jnp.asarray(chunk), P=P)
     return out.reshape((P,) + tuple(vol_shape))

@@ -8,6 +8,7 @@ into chunked float16 zarr outputs.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 
@@ -37,6 +38,30 @@ def enumerate_shifts(shape_padded, input_shape, stride):
     return [tuple(s) for s in shifts]
 
 
+def pad_to_grid(raw: np.ndarray, spatial, input_shape, output_shape):
+    """Padded-volume geometry shared by the staged and fused predict paths
+    (the tile-coverage contract both must agree on): context margins +
+    snap to the output-shape grid.  Returns (raw_padded, shape_padded,
+    context)."""
+    context = (input_shape - output_shape) // 2
+    shape_padded = np.array(
+        [(int(s) // int(o) + 1) * int(o) + 2 * int(c)
+         for s, o, c in zip(spatial, output_shape, context)])
+    raw_padded = np.pad(
+        raw, [(0, 0)] + [(int(c), int(sp - s - c))
+                         for c, s, sp in zip(context, spatial,
+                                             shape_padded)],
+        mode="constant")
+    return raw_padded, shape_padded, context
+
+
+@functools.partial(jax.jit, static_argnames=("model", "mcfg"))
+def _fwd_batch(model, mcfg, params, batch):
+    # module-level jit: one compile per (model, shapes), not per call
+    h1, h2 = model.apply(params, batch)
+    return apply_activations(mcfg, h1, h2)
+
+
 def predict_volume(model: PPPModel, params, raw: np.ndarray,
                    mcfg: PPPConfig, input_shape, output_shape,
                    batch_size: int = 2, out_dtype=np.float16):
@@ -48,15 +73,8 @@ def predict_volume(model: PPPModel, params, raw: np.ndarray,
     spatial = np.array(raw.shape[1:])
     input_shape = np.array(input_shape)
     output_shape = np.array(output_shape)
-    context = (input_shape - output_shape) // 2
-
-    shape_padded = np.array(
-        [(int(s) // int(o) + 1) * int(o) + 2 * int(c)
-         for s, o, c in zip(spatial, output_shape, context)])
-    raw_padded = np.pad(
-        raw, [(0, 0)] + [(int(c), int(sp - s - c))
-                         for c, s, sp in zip(context, spatial, shape_padded)],
-        mode="constant")
+    raw_padded, shape_padded, context = pad_to_grid(
+        raw, spatial, input_shape, output_shape)
 
     shifts = enumerate_shifts(shape_padded, input_shape, output_shape)
     logger.info("predicting %d tiles (padded %s)", len(shifts),
@@ -67,10 +85,8 @@ def predict_volume(model: PPPModel, params, raw: np.ndarray,
     out2 = np.zeros((mcfg.out_channels_head2,) + tuple(spatial),
                     dtype=out_dtype)
 
-    @jax.jit
     def fwd(batch):
-        h1, h2 = model.apply(params, batch)
-        return apply_activations(mcfg, h1, h2)
+        return _fwd_batch(model, mcfg, params, batch)
 
     for i in range(0, len(shifts), batch_size):
         group = shifts[i:i + batch_size]
@@ -117,11 +133,13 @@ def predict_sample_to_zarr(model: PPPModel, params, raw: np.ndarray,
                             output_shape, batch_size)
     spatial = raw.shape[1:]
     chunk_sp = [max(1, int(o) // 2) for o in output_shape]
+    ndim_sp = len(spatial)
     io = vio.IoZarr(out_path, mode="w")
     for key, arr in ((aff_or_code_key, h1), (fgbg_numinst_key, h2)):
         io.create(key, arr.shape, np.float16,
                   chunks=[arr.shape[0]] + chunk_sp)
         io.write(arr.astype(np.float16), key=key)
-        io.set_attrs(key, {"offset": [0, 0, 0], "resolution": [1, 1, 1]})
+        io.set_attrs(key, {"offset": [0] * ndim_sp,
+                           "resolution": [1] * ndim_sp})
     io.close()
     return out_path

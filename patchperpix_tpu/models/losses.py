@@ -28,7 +28,7 @@ def masked_bce_logits(logits, targets, mask=None, num_channels=1.0):
                      jnp.sum(loss * m[:, None]) / jnp.maximum(cnt, 1e-30))
 
 
-def masked_ce(logits, targets_int, mask=None, num_classes=3,
+def masked_ce(logits, targets_int, mask=None,
               use_gt_extra=False):
     """MaskedCrossEntropyLoss (torch_loss.py:12-44).
 

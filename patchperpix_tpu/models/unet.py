@@ -50,7 +50,6 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        window = (1,) + tuple(self.factors) + (1,)
         return nn.max_pool(x, window_shape=tuple(self.factors),
                            strides=tuple(self.factors))
 

@@ -69,7 +69,10 @@ class IoZarr:
         if self.channel_order is not None and key in self.channel_order:
             ch = self.channel_order[key]
             base = self._open(self.keys[0])
-            sl = (slice(ch[0], ch[1]),) + (tuple(bb) if bb else ())
+            spatial_bb = tuple(bb) if bb else ()
+            if spatial_bb and len(spatial_bb) == len(base.shape):
+                spatial_bb = spatial_bb[1:]  # caller included channel dim
+            sl = (slice(ch[0], ch[1]),) + spatial_bb
             return np.asarray(base[sl].read().result())
         arr = self._open(key)
         if bb is None:
@@ -146,7 +149,10 @@ class IoHDF5:
         if self.channel_order is not None and key in self.channel_order:
             ch = self.channel_order[key]
             base = self._f[self.keys[0]]
-            sl = (slice(ch[0], ch[1]),) + (tuple(bb) if bb else ())
+            spatial_bb = tuple(bb) if bb else ()
+            if spatial_bb and len(spatial_bb) == len(base.shape):
+                spatial_bb = spatial_bb[1:]  # caller included channel dim
+            sl = (slice(ch[0], ch[1]),) + spatial_bb
             return np.asarray(base[sl])
         ds = self._f[key]
         return np.asarray(ds[tuple(bb)] if bb is not None else ds[()])
@@ -253,8 +259,9 @@ def check_file(path: str, keys=None, remove_on_error: bool = False) -> bool:
                     # set's res_key not written yet) -> incomplete, but NOT
                     # corrupt: keep the file and its other keys
                     return False
-                # touch one element
-                io.read(bb=tuple(slice(0, 1) for _ in s[1:]), key=k)
+                # touch one element (every dim sliced: s[1:] left the
+                # last axis fully read, decompressing many chunks)
+                io.read(bb=tuple(slice(0, 1) for _ in s), key=k)
         return True
     except Exception:
         if remove_on_error:
@@ -277,11 +284,19 @@ def write_nrrd(path: str, arr: np.ndarray):
     """
     arr = np.ascontiguousarray(arr)
     type_map = {np.dtype(np.uint8): "uint8", np.dtype(np.uint16): "uint16",
-                np.dtype(np.int32): "int32", np.dtype(np.float32): "float"}
+                np.dtype(np.int32): "int32", np.dtype(np.uint32): "uint32",
+                np.dtype(np.int64): "int64", np.dtype(np.uint64): "uint64",
+                np.dtype(np.float32): "float",
+                np.dtype(np.float64): "double"}
     t = type_map.get(arr.dtype)
     if t is None:
-        arr = arr.astype(np.float32)
-        t = "float"
+        if np.issubdtype(arr.dtype, np.integer):
+            # never round integer labels through float
+            arr = arr.astype(np.int64)
+            t = "int64"
+        else:
+            arr = arr.astype(np.float32)
+            t = "float"
     # nrrd sizes are fastest-first (Fortran); a C-contiguous array's axes
     # are slowest-first, so list them reversed
     sizes = " ".join(str(s) for s in reversed(arr.shape))
@@ -300,6 +315,7 @@ def read_nrrd(path: str) -> np.ndarray:
     fields = dict(line.split(": ", 1) for line in
                   head.decode().splitlines()[1:] if ": " in line)
     dt = {"uint8": np.uint8, "uint16": np.uint16, "int32": np.int32,
-          "float": np.float32}[fields["type"]]
+          "uint32": np.uint32, "int64": np.int64, "uint64": np.uint64,
+          "float": np.float32, "double": np.float64}[fields["type"]]
     sizes = [int(s) for s in fields["sizes"].split()]
     return np.frombuffer(body, dtype=dt).reshape(tuple(reversed(sizes)))
