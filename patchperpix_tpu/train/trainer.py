@@ -105,6 +105,24 @@ def load_checkpoint(path: str, template: dict | None = None) -> dict:
         return ckpt.restore(path, abstract)
 
 
+def resume_state(path: str, state: dict, optimizer) -> dict:
+    """Checkpoint resume tolerant of optimizer-structure changes.
+
+    Switching the lr schedule (e.g. cosine -> constant for a fine-tune)
+    changes the optax state pytree; the template restore then falls back
+    to a raw-dict restore that loses the NamedTuple structure and crashes
+    optimizer.update later.  Detect the structure mismatch and
+    reinitialize the optimizer from the restored params instead."""
+    tmpl_opt = state["opt_state"]
+    state = load_checkpoint(path, state)
+    if jax.tree_util.tree_structure(state["opt_state"]) != \
+            jax.tree_util.tree_structure(tmpl_opt):
+        logger.warning("optimizer state structure changed since the "
+                       "checkpoint; reinitializing optimizer moments")
+        state["opt_state"] = optimizer.init(state["params"])
+    return state
+
+
 def make_optimizer(cfg: TrainConfig):
     sched = cfg.lr
     if cfg.lr_schedule == "cosine":
@@ -378,7 +396,7 @@ def train_until(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     latest, latest_step = get_latest_checkpoint(tcfg.output_folder)
     if latest is not None:
         logger.info("resuming from %s", latest)
-        state = load_checkpoint(latest, state)
+        state = resume_state(latest, state, optimizer)
         state["step"] = latest_step
         if repl_sh is not None:
             state["params"] = jax.device_put(state["params"], repl_sh)
@@ -523,7 +541,7 @@ def _train_until_device(model: PPPModel, mcfg: PPPConfig, tcfg: TrainConfig,
     latest, latest_step = get_latest_checkpoint(tcfg.output_folder)
     if latest is not None:
         logger.info("resuming from %s", latest)
-        state = load_checkpoint(latest, state)
+        state = resume_state(latest, state, optimizer)
         state["step"] = latest_step
 
     params, opt_state = state["params"], state["opt_state"]
