@@ -18,11 +18,18 @@ while true; do
     --set training.checkpoints=2000 "$@" -d train >> "$LOG" 2>&1 &
   PID=$!
   echo $PID > /tmp/train_watchdog.pid
-  # monitor: kill on stall
+  LAUNCH=$(date +%s)
+  GRACE=480   # first compile takes minutes and writes nothing
+  # monitor: kill on stall (log older than STALL_S, measured only
+  # against progress made SINCE this launch)
   while kill -0 $PID 2>/dev/null; do
     sleep 60
+    now=$(date +%s)
+    [ $(( now - LAUNCH )) -lt $GRACE ] && continue
     if [ -f "$TRAIN_LOG" ]; then
-      age=$(( $(date +%s) - $(stat -c %Y "$TRAIN_LOG") ))
+      mt=$(stat -c %Y "$TRAIN_LOG")
+      ref=$(( mt > LAUNCH ? mt : LAUNCH ))
+      age=$(( now - ref ))
       if [ "$age" -gt "$STALL_S" ]; then
         echo "WATCHDOG: stall (${age}s); killing $PID" >> "$LOG"
         kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
