@@ -382,6 +382,51 @@ def _graph_gather_tables(cfg: ConsensusConfig):
     return offs, dp
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_count_panel(ps_t: tuple, strides_t: tuple):
+    """Pre-skewed in-reach pair-count table (bf16 0/1), shape (P, E...).
+
+    The per-pixel-pair in-reach test of computePatchGraph.cu (bounds
+    ordered by flat pixel index) depends on (p1, p2, dc) only through
+    dt = dc + off(p2) - off(p1):
+
+        FT[dt] = all(lo(fwd) <= dt <= hi(fwd)),  fwd = dt . strides >= 0
+
+    (|dt| <= 3(ps-1) always, since |dc| <= 2(ps-1) and |dp| <= ps-1).
+    FT is laid out per first-patch pixel exactly like the skewed
+    consensus panel, so the SAME dynamic-slice start (dc + 2(ps-1))
+    yields the full (P, P) count matrix:
+
+        in_cnt[p1, p2] = FP[p1, dc + 2(ps-1) + off(p2)]
+
+    This removes the per-pair (P, P, ndim) integer-bound intermediates
+    (x1/x2/flat-index compare) from the segment loop entirely.
+    """
+    ps = np.asarray(ps_t, np.int64)
+    ndim = len(ps)
+    m = 3 * (ps - 1)
+    axes = [np.arange(-mm, mm + 1) for mm in m]
+    dt = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    strides = np.asarray(strides_t, np.int64)
+    fwd = (dt @ strides) >= 0
+    lo = np.where(fwd[..., None], -(ps - 1), -ps)
+    hi = np.where(fwd[..., None], ps, ps - 1)
+    FT = np.all((dt >= lo) & (dt <= hi), axis=-1)
+    offs = patch_offsets(tuple(int(p) for p in ps))     # (P, ndim)
+    P = len(offs)
+    E = 5 * ps - 4
+    IDX = []
+    for ax in range(ndim):
+        y = np.arange(int(E[ax]))
+        g = y[None, :] + (int(ps[ax]) - 1) - offs[:, ax][:, None]
+        shape = [P] + [1] * ndim
+        shape[1 + ax] = int(E[ax])
+        IDX.append(g.reshape(shape))
+    FP = FT[tuple(IDX)]
+    import jax as _jax
+    return _jax.device_put(jnp.asarray(FP, jnp.bfloat16))
+
+
 def _skew_panel(pb: jnp.ndarray, ps: np.ndarray,
                 neigh: np.ndarray) -> jnp.ndarray:
     """(neigh..., ps...) patch consensus window -> skewed (P, E...) panel.
@@ -438,6 +483,7 @@ def _patch_graph_weights_jit(
     seg_first: jnp.ndarray,      # (n_seg,) int32 first-patch id per segment
     seg_partner: jnp.ndarray,    # (n_seg, G) int32 partner ids
     seg_valid: jnp.ndarray,      # (n_seg, G) bool
+    cnt_panel: jnp.ndarray,      # (P, E...) bf16 pre-skewed in-reach table
     cfg: ConsensusConfig,
     n_unique: int,
     group: int,
@@ -449,14 +495,10 @@ def _patch_graph_weights_jit(
     P = cfg.P
     th = cfg.patch_threshold
     vol_shape = np.array(affs.shape[1:])
-    strides = np.array([int(np.prod(vol_shape[i + 1:])) for i in range(ndim)])
 
-    offs, dp = _graph_gather_tables(cfg)
+    offs, _dp = _graph_gather_tables(cfg)
     offs_j = jnp.asarray(offs, jnp.int32)
-    dp_j = jnp.asarray(dp, jnp.int32)              # (P, P, ndim)
     rad_j = jnp.asarray(rad, jnp.int32)
-    ps_j = jnp.asarray(ps, jnp.int32)
-    strides_j = jnp.asarray(strides, jnp.int32)
 
     fg = (affs[cfg.mid] > th).astype(jnp.float32)
     fg_pad = jnp.pad(fg, [(int(r), int(r)) for r in rad])
@@ -498,26 +540,23 @@ def _patch_graph_weights_jit(
             dc = c2 - c1
             hi2 = HIs[j]
 
-            # pair value matrix: one contiguous slice of the skewed panel
+            # pair value + in-reach count matrices: contiguous slices of
+            # the skewed panel and the static pre-skewed count table
+            # (identical slice geometry — see _pair_count_panel)
             start = (0,) + tuple(dc[k] + 2 * (int(ps[k]) - 1)
                                  for k in range(ndim))
             W = jax.lax.dynamic_slice(panel, start,
                                       (P,) + blk_sp).reshape(P, P)
+            in_cnt = jax.lax.dynamic_slice(
+                cnt_panel, start, (P,) + blk_sp).reshape(P, P)
 
-            dt = dc[None, None, :] + dp_j          # (P, P, ndim)
-            x1 = c1[None, None, :] + offs_j[:, None, :] - rad_j
-            x2 = c2[None, None, :] + offs_j[None, :, :] - rad_j
-            g1 = jnp.sum(x1 * strides_j, axis=-1)
-            g2 = jnp.sum(x2 * strides_j, axis=-1)
-            fwd = (g1 <= g2)[..., None]
-            lo_b = jnp.where(fwd, -(ps_j - 1)[None, None], -ps_j[None, None])
-            hi_b = jnp.where(fwd, ps_j[None, None], (ps_j - 1)[None, None])
-            in_cnt = jnp.all((dt >= lo_b) & (dt <= hi_b), axis=-1)
-
-            inter = (jnp.all(jnp.abs(x1 - c2[None, None, :]) <= rad_j,
-                             axis=-1)
-                     & jnp.all(jnp.abs(x2 - c1[None, None, :]) <= rad_j,
-                               axis=-1))
+            # intersection test factorizes per endpoint:
+            # |x1 - c2| <= rad  <=>  |off(p1) - rad - dc| <= rad
+            inter_a = jnp.all(jnp.abs(offs_j - rad_j[None] - dc[None])
+                              <= rad_j[None], axis=-1)
+            inter_b = jnp.all(jnp.abs(offs_j - rad_j[None] + dc[None])
+                              <= rad_j[None], axis=-1)
+            inter = inter_a[:, None] & inter_b[None, :]
             if drop_intersection:
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(seed),
@@ -627,11 +666,14 @@ def patch_graph_weights(
         seg_valid.append(np.zeros(group, bool))
         seg_out.append(np.zeros(group, np.int64))
 
+    vol_shape = np.asarray(affs.shape[1:])
+    strides = tuple(int(np.prod(vol_shape[i + 1:])) for i in range(ndim))
+    cnt_panel = _pair_count_panel(tuple(int(p) for p in ps), strides)
     w = _patch_graph_weights_jit(
         affs, cons_sym, jnp.asarray(centers, jnp.int32),
         jnp.asarray(np.asarray(seg_first), jnp.int32),
         jnp.asarray(np.stack(seg_partner), jnp.int32),
-        jnp.asarray(np.stack(seg_valid)),
+        jnp.asarray(np.stack(seg_valid)), cnt_panel,
         cfg, n_unique=len(centers), group=group,
         seed=seed, drop_intersection=drop_intersection)
     w = np.asarray(w)

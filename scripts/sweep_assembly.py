@@ -1,0 +1,155 @@
+"""Assembly-parameter sweep for a trained checkpoint (round-3 item 1).
+
+Predicts the shipped FlyLight crop ONCE with a CLI-trained checkpoint,
+then sweeps vote_instances parameters (patch_threshold / fc_threshold /
+mws / skeletonize / numinst_threshs) on the device and, for each
+assembly, the evaluation-side remove_small_components filter (the
+reference's recipe: ignore_small_comps=200 at assembly,
+remove_small_components=500 at evaluation — default.toml vote_instances
++ evaluation sections).  Mirrors the reference's validate_checkpoints
+grid search (run_ppp.py:919-1051) as an in-process loop so the sweep
+reuses the single prediction.
+
+Usage: python scripts/sweep_assembly.py [--exp experiments_out/crop_r3_ft]
+           [--ckpt N] [--out parity/sweep_ft.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE = "data/JRC_SS05008-20160318_24_B2_crop.zarr"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", default="experiments_out/crop_r3_ft")
+    ap.add_argument("--ckpt", type=int, default=0, help="0 = latest")
+    ap.add_argument("--out", default="parity/sweep_ft.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="only the reference-recipe rows")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from patchperpix_tpu.assembly import VoteInstancesParams, to_instance_seg
+    from patchperpix_tpu.cli import _build_model
+    from patchperpix_tpu.config import load_config
+    from patchperpix_tpu.evaluate import evaluate_labels
+    from patchperpix_tpu.infer.fused import predict_volume_device
+    from patchperpix_tpu.train import load_sample
+    from patchperpix_tpu.train.trainer import (get_latest_checkpoint,
+                                               load_checkpoint)
+    from patchperpix_tpu.utils.postprocess import remove_small_components
+
+    config = load_config(os.path.join(args.exp, "config.toml"))
+    model, mcfg = _build_model(config)
+    ps = tuple(config["model"]["patchshape"])
+
+    train_dir = os.path.join(args.exp, "train")
+    if args.ckpt:
+        ckpt = os.path.join(train_dir, f"train_net_checkpoint_{args.ckpt}")
+        step = args.ckpt
+    else:
+        ckpt, step = get_latest_checkpoint(train_dir)
+    print(f"checkpoint: {ckpt} (step {step})", flush=True)
+    state = load_checkpoint(ckpt)
+    params = state["params"]
+
+    clipmax = config.get("preprocessing", {}).get("clipmax", 1500)
+    sample = load_sample(FIXTURE, config["data"]["raw_key"],
+                         config["data"]["gt_key"], clipmax=clipmax)
+    crop = tuple(config["model"]["test_input_shape_same"])
+    t0 = time.perf_counter()
+    h1, h2 = predict_volume_device(model, params, sample.raw, mcfg,
+                                   crop, crop)
+    # keep affinities on device for the assembly loop
+    affs_dev = h1 if isinstance(h1, jax.Array) else jnp.asarray(h1)
+    prob = np.asarray(h2, np.float32)
+    print(f"predict {time.perf_counter() - t0:.1f}s", flush=True)
+
+    def derive_numinst(threshs):
+        numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
+        for i, t in enumerate(threshs):
+            numinst[prob[i + 1] > t] = i + 1
+        return numinst
+
+    def evaluate(inst, rm):
+        out = remove_small_components(inst, rm) if rm else inst
+        res = evaluate_labels(out, sample.labels,
+                              localization_criterion="cldice",
+                              assignment_strategy="greedy",
+                              keep_gt_shape=True)
+        g = res["general"]
+        cm = res["confusion_matrix"]
+        return {"avg_f1_cov": round(float(g["avg_f1_cov_score"]), 4),
+                "skel_cov": round(float(g["avg_gt_skel_coverage"]), 4),
+                "avFscore": round(float(cm["avFscore"]), 4),
+                "AP_0.5": round(float(cm["th_0_5"]["AP"]), 4),
+                "num_pred": int(np.unique(out).size - 1)}
+
+    # assembly combos; each is evaluated at several eval-side filters
+    combos = [
+        dict(name="ref", pt=0.5, fc=0.5, mws=True, skel=True,
+             ni=(0.9, 0.1)),
+        dict(name="nomws", pt=0.5, fc=0.5, mws=False, skel=True,
+             ni=(0.9, 0.1)),
+        dict(name="pt0.4", pt=0.4, fc=0.4, mws=True, skel=True,
+             ni=(0.9, 0.1)),
+        dict(name="pt0.6", pt=0.6, fc=0.6, mws=True, skel=True,
+             ni=(0.9, 0.1)),
+        dict(name="fc0.7", pt=0.5, fc=0.7, mws=True, skel=True,
+             ni=(0.9, 0.1)),
+        dict(name="noskel", pt=0.5, fc=0.5, mws=True, skel=False,
+             ni=(0.9, 0.1)),
+        dict(name="ni0.8_0.2", pt=0.5, fc=0.5, mws=True, skel=True,
+             ni=(0.8, 0.2)),
+        dict(name="ni0.9_0.3", pt=0.5, fc=0.5, mws=True, skel=True,
+             ni=(0.9, 0.3)),
+    ]
+    if args.quick:
+        combos = combos[:1]
+    rms = (0, 200, 400, 500, 600)
+
+    results = {"checkpoint": step, "exp": args.exp, "rows": []}
+    best = None
+    for c in combos:
+        numinst = derive_numinst(c["ni"])
+        fg = numinst > 0
+        pv = VoteInstancesParams(
+            patchshape=ps, engine="jax", overlapping_inst=True,
+            mws=c["mws"], patch_threshold=c["pt"], fc_threshold=c["fc"],
+            select_patches_for_sparse_data=True,
+            skeletonize_foreground=c["skel"])
+        t0 = time.perf_counter()
+        inst, _ = to_instance_seg(affs_dev, fg, fg.copy(), numinst, pv)
+        inst = np.asarray(inst)
+        inst[~fg] = 0
+        dt = time.perf_counter() - t0
+        for rm in rms:
+            row = {"combo": c["name"], "rm": rm, "asm_s": round(dt, 2),
+                   **evaluate(inst.copy(), rm)}
+            results["rows"].append(row)
+            tag = f"{c['name']}_rm{rm}"
+            print(f"RESULT {tag} avg_f1_cov {row['avg_f1_cov']} "
+                  f"skel {row['skel_cov']} avF {row['avFscore']} "
+                  f"AP05 {row['AP_0.5']} npred {row['num_pred']}",
+                  flush=True)
+            if best is None or row["avg_f1_cov"] > best["avg_f1_cov"]:
+                best = row
+    results["best"] = best
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("BEST", json.dumps(best), flush=True)
+
+
+if __name__ == "__main__":
+    main()
