@@ -191,7 +191,10 @@ def self_consistent_pipeline(gt_labels):
     from patchperpix_tpu.evaluate import evaluate_labels
     from patchperpix_tpu.utils.postprocess import remove_small_components
 
-    inst = remove_small_components(inst, 60)
+    # reference evaluation recipe for FlyLight: remove_small_components
+    # 500 before scoring (default.toml [evaluation]); the parameter sweep
+    # (parity/sweep_ft.json) confirms it dominates smaller filters
+    inst = remove_small_components(inst, 500)
     acc = {}
     res = evaluate_labels(inst, gt_labels, localization_criterion="cldice",
                           assignment_strategy="greedy", keep_gt_shape=True)

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--out", default="parity/sweep_ft.json")
     ap.add_argument("--quick", action="store_true",
                     help="only the reference-recipe rows")
+    ap.add_argument("--anchor", action="store_true",
+                    help="re-score the best row under both metric "
+                         "families and write the trained_e2e anchor "
+                         "into parity/results.json")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +117,18 @@ def main():
              ni=(0.8, 0.2)),
         dict(name="ni0.9_0.3", pt=0.5, fc=0.5, mws=True, skel=True,
              ni=(0.9, 0.3)),
+        # lower patch-fg threshold for cover/graph only: bigger patch fg
+        # sets -> more cross-patch pixel pairs -> stronger merge edges
+        dict(name="fc0.4", pt=0.5, fc=0.4, mws=True, skel=True,
+             ni=(0.9, 0.1)),
+        dict(name="fc0.3", pt=0.5, fc=0.3, mws=True, skel=True,
+             ni=(0.9, 0.1)),
+        # second selection pass around overlap regions
+        # (select_patches_overlap_neighborhood, foreground_cover.py:53-85)
+        dict(name="ovn", pt=0.5, fc=0.5, mws=True, skel=True,
+             ni=(0.9, 0.1), ovn=True),
+        dict(name="pt0.6fc0.4", pt=0.6, fc=0.4, mws=True, skel=True,
+             ni=(0.9, 0.1)),
     ]
     if args.quick:
         combos = combos[:1]
@@ -127,6 +143,7 @@ def main():
             patchshape=ps, engine="jax", overlapping_inst=True,
             mws=c["mws"], patch_threshold=c["pt"], fc_threshold=c["fc"],
             select_patches_for_sparse_data=True,
+            select_patches_overlap_neighborhood=c.get("ovn", False),
             skeletonize_foreground=c["skel"])
         t0 = time.perf_counter()
         inst, _ = to_instance_seg(affs_dev, fg, fg.copy(), numinst, pv)
@@ -149,6 +166,60 @@ def main():
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print("BEST", json.dumps(best), flush=True)
+
+    if args.anchor and best is not None:
+        bc = next(c for c in combos if c["name"] == best["combo"])
+        numinst = derive_numinst(bc["ni"])
+        fg = numinst > 0
+        pv = VoteInstancesParams(
+            patchshape=ps, engine="jax", overlapping_inst=True,
+            mws=bc["mws"], patch_threshold=bc["pt"],
+            fc_threshold=bc["fc"],
+            select_patches_for_sparse_data=True,
+            select_patches_overlap_neighborhood=bc.get("ovn", False),
+            skeletonize_foreground=bc["skel"])
+        inst, _ = to_instance_seg(affs_dev, fg, fg.copy(), numinst, pv)
+        inst = np.asarray(inst)
+        inst[~fg] = 0
+        inst = remove_small_components(inst, best["rm"])
+        anchor = {"checkpoint": step, "exp_base": args.exp,
+                  "source": "cli",
+                  "assembly_params": {**{k: v for k, v in bc.items()
+                                         if k != "name"},
+                                      "eval_remove_small": best["rm"]}}
+        for name, (loc, asg) in {"iou_hungarian": ("iou", "hungarian"),
+                                 "cldice_greedy": ("cldice", "greedy")
+                                 }.items():
+            res = evaluate_labels(inst, sample.labels,
+                                  localization_criterion=loc,
+                                  assignment_strategy=asg,
+                                  keep_gt_shape=True)
+            g, cm = res["general"], res["confusion_matrix"]
+            ths = [f"th_0_{i}" for i in range(5, 10)]
+            anchor[name] = {
+                "avS_0.5:0.9": float(np.mean(
+                    [cm[t]["AP"] for t in ths if t in cm])),
+                "avFscore": float(cm["avFscore"]),
+                "AP_0.5": float(cm["th_0_5"]["AP"]),
+                "fscore_0.5": float(cm["th_0_5"]["fscore"]),
+                "num_gt": int(g["Num GT"]),
+                "num_pred": int(g["Num Pred"]),
+                "avg_f1_cov_score": float(g["avg_f1_cov_score"]),
+                "avg_gt_skel_coverage": float(g["avg_gt_skel_coverage"]),
+            }
+        res_path = "parity/results.json"
+        blob = json.load(open(res_path)) if os.path.exists(res_path) \
+            else {}
+        tl = os.path.join(args.exp, "train", "train_log.jsonl")
+        if os.path.exists(tl):
+            with open(tl) as f:
+                last = json.loads(f.readlines()[-1])
+            anchor["final_train_loss"] = last.get("loss")
+        anchor["train_iters"] = step
+        blob["trained_e2e"] = anchor
+        with open(res_path, "w") as f:
+            json.dump(blob, f, indent=1)
+        print("ANCHOR", json.dumps(anchor["cldice_greedy"]), flush=True)
 
 
 if __name__ == "__main__":
