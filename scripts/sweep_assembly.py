@@ -74,10 +74,23 @@ def main():
     t0 = time.perf_counter()
     h1, h2 = predict_volume_device(model, params, sample.raw, mcfg,
                                    crop, crop)
-    # keep affinities on device for the assembly loop
-    affs_dev = h1 if isinstance(h1, jax.Array) else jnp.asarray(h1)
+    # keep affinities (or codes, for ppp+dec) on device
+    h1 = h1 if isinstance(h1, jax.Array) else jnp.asarray(h1)
     prob = np.asarray(h2, np.float32)
     print(f"predict {time.perf_counter() - t0:.1f}s", flush=True)
+
+    dec_cache = {}
+
+    def affs_for(fg, ni_key):
+        """Dense affinities on device; ppp+dec decodes per fg variant."""
+        if not mcfg.train_code:
+            return h1
+        if ni_key not in dec_cache:
+            from patchperpix_tpu.infer.fused import decode_volume_device
+
+            dec_cache[ni_key] = decode_volume_device(
+                model, params, h1, fg, mcfg)
+        return dec_cache[ni_key]
 
     def derive_numinst(threshs):
         numinst = np.zeros(prob.shape[1:], dtype=np.uint8)
@@ -146,7 +159,8 @@ def main():
             select_patches_overlap_neighborhood=c.get("ovn", False),
             skeletonize_foreground=c["skel"])
         t0 = time.perf_counter()
-        inst, _ = to_instance_seg(affs_dev, fg, fg.copy(), numinst, pv)
+        inst, _ = to_instance_seg(affs_for(fg, c["ni"]), fg, fg.copy(),
+                                  numinst, pv)
         inst = np.asarray(inst)
         inst[~fg] = 0
         dt = time.perf_counter() - t0
@@ -178,7 +192,8 @@ def main():
             select_patches_for_sparse_data=True,
             select_patches_overlap_neighborhood=bc.get("ovn", False),
             skeletonize_foreground=bc["skel"])
-        inst, _ = to_instance_seg(affs_dev, fg, fg.copy(), numinst, pv)
+        inst, _ = to_instance_seg(affs_for(fg, bc["ni"]), fg, fg.copy(),
+                                  numinst, pv)
         inst = np.asarray(inst)
         inst[~fg] = 0
         inst = remove_small_components(inst, best["rm"])
