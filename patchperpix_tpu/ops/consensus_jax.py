@@ -525,6 +525,27 @@ def _patch_graph_weights_jit(
     HIs = jax.lax.map(per_patch_hi, centers.astype(jnp.int32),
                       batch_size=32)
 
+    # field formulation: the pair weight factorizes through a per-segment
+    # correlation field,
+    #
+    #   field[y]  = sum_p1 hi1[p1] * panel[p1, y]       (one matvec)
+    #   acc(pair) = sum_p2 hi2[p2] * field[dc + 2(ps-1) + off(p2)]
+    #             = dot(hi2, slice(field, dc))
+    #
+    # so each pair costs a 7^d slice + dot instead of a (P, P) value
+    # matrix — no per-pair gathers, no (P, P) random draws.  The in-reach
+    # denominator uses the same contraction against the static pre-skewed
+    # count table.  Intersection downweighting (reference: keep 20% of
+    # intersection pixels via a sequential LCG, computePatchGraph.cu:74-86)
+    # is applied IN EXPECTATION: the correction term
+    #   sum_{x1 in A, x2 in B} hi1 hi2 W  (A/B = the per-endpoint
+    # intersection boxes) is computed exactly via a masked-hi1 matvec and
+    # subtracted at weight 0.8 — same mean as the Bernoulli(0.2) keep,
+    # zero variance (deterministic, order-free).
+    E_sp = tuple(int(5 * p - 4) for p in ps)
+    cnt_flat = cnt_panel.reshape(P, -1).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
     def one_segment(seg):
         i, partners, valid = seg
         c1 = centers[i].astype(jnp.int32)
@@ -532,47 +553,52 @@ def _patch_graph_weights_jit(
             cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
             (n_off,) + blk_sp).astype(jnp.float32).reshape(
                 tuple(int(v) for v in neigh) + blk_sp)
-        panel = _skew_panel(pb, ps, neigh)       # (P, E...)
+        panel = _skew_panel(pb, ps, neigh).reshape(P, -1)   # (P, E^d)
         hi1 = HIs[i]
 
-        def one_pair(j, ok):
-            c2 = centers[j].astype(jnp.int32)
-            dc = c2 - c1
-            hi2 = HIs[j]
+        field = jnp.matmul(hi1, panel, precision=hp).reshape(E_sp)
+        cnt_field = jnp.matmul(hi1, cnt_flat, precision=hp).reshape(E_sp)
 
-            # pair value + in-reach count matrices: contiguous slices of
-            # the skewed panel and the static pre-skewed count table
-            # (identical slice geometry — see _pair_count_panel)
-            start = (0,) + tuple(dc[k] + 2 * (int(ps[k]) - 1)
-                                 for k in range(ndim))
-            W = jax.lax.dynamic_slice(panel, start,
-                                      (P,) + blk_sp).reshape(P, P)
-            in_cnt = jax.lax.dynamic_slice(
-                cnt_panel, start, (P,) + blk_sp).reshape(P, P)
+        dcs = centers[partners].astype(jnp.int32) - c1[None]   # (G, ndim)
+        hi2 = HIs[partners]                                    # (G, P)
+        if drop_intersection:
+            # per-endpoint intersection boxes:
+            # x1 within rad of c2  <=>  |off(p1) - rad - dc| <= rad
+            box_a = jnp.all(jnp.abs(offs_j[None] - rad_j - dcs[:, None])
+                            <= rad_j, axis=-1)                 # (G, P)
+            box_b = jnp.all(jnp.abs(offs_j[None] - rad_j + dcs[:, None])
+                            <= rad_j, axis=-1)
+            mh1 = hi1[None, :] * box_a
+            corr = jnp.matmul(mh1, panel).reshape((-1,) + E_sp)
+            corr_cnt = jnp.matmul(mh1, cnt_flat).reshape((-1,) + E_sp)
+        else:
+            box_b = corr = corr_cnt = None
 
-            # intersection test factorizes per endpoint:
-            # |x1 - c2| <= rad  <=>  |off(p1) - rad - dc| <= rad
-            inter_a = jnp.all(jnp.abs(offs_j - rad_j[None] - dc[None])
-                              <= rad_j[None], axis=-1)
-            inter_b = jnp.all(jnp.abs(offs_j - rad_j[None] + dc[None])
-                              <= rad_j[None], axis=-1)
-            inter = inter_a[:, None] & inter_b[None, :]
+        def one_pair(j, ok, dc, h2, bb, cf, ccf):
+            start = tuple(dc[k] + 2 * (int(ps[k]) - 1)
+                          for k in range(ndim))
+            sl = jax.lax.dynamic_slice(field, start, blk_sp).reshape(-1)
+            csl = jax.lax.dynamic_slice(cnt_field, start,
+                                        blk_sp).reshape(-1)
+            acc = jnp.dot(h2, sl, precision=hp)
+            fg_cnt = jnp.dot(h2, csl, precision=hp)
             if drop_intersection:
-                key = jax.random.fold_in(
-                    jax.random.PRNGKey(seed),
-                    jnp.sum(c1 * 7919 + c2 * 104729).astype(jnp.uint32))
-                u = jax.random.uniform(key, (P, P))
-                keep = jnp.where(inter, (u <= 0.2).astype(jnp.float32), 1.0)
-            else:
-                keep = jnp.ones((P, P), dtype=jnp.float32)
-
-            m = hi1[:, None] * hi2[None, :] * keep
-            acc = jnp.sum(m * W)
-            fg_cnt = jnp.sum(m * in_cnt)
+                h2b = h2 * bb
+                cfs = jax.lax.dynamic_slice(cf, start, blk_sp).reshape(-1)
+                ccfs = jax.lax.dynamic_slice(ccf, start,
+                                             blk_sp).reshape(-1)
+                acc = acc - 0.8 * jnp.dot(h2b, cfs)
+                fg_cnt = fg_cnt - 0.8 * jnp.dot(h2b, ccfs)
             w = acc / jnp.maximum(1.0, fg_cnt) if cfg.norm_graph else acc
             return jnp.where(ok, w, 0.0)
 
-        return jax.vmap(one_pair)(partners, valid)
+        if drop_intersection:
+            return jax.vmap(one_pair)(partners, valid, dcs, hi2,
+                                      box_b, corr, corr_cnt)
+        return jax.vmap(
+            lambda j, ok, dc, h2: one_pair(j, ok, dc, h2, None, None,
+                                           None))(partners, valid, dcs,
+                                                  hi2)
 
     # sequential map: vmapping segments (batch_size=) turns the panel
     # dynamic-slices into gathers and measured 2.5x SLOWER on TPU
@@ -595,15 +621,21 @@ def patch_graph_weights(
     ``cons_sym`` must be the symmetrized consensus.  TPU-regular
     formulation: pairs are grouped by their first patch; per group the
     patch's (neigh, ps^d) consensus window is sliced from HBM once and
-    SKEWED (pad+reshape shear, see ``_skew_panel``) so that every pair's
-    full (P, P) pixel-pair value matrix becomes one contiguous
-    dynamic-slice — no gathers, no giant one-hot operands; the remaining
-    per-pair work is elementwise on (P, P).
+    SKEWED (pad+reshape shear, see ``_skew_panel``) into a (P, E^d)
+    panel, then contracted with the patch's hi-pixel vector into a
+    CORRELATION FIELD (one matvec); each pair reduces to a 7^d
+    dynamic-slice of the field + a dot with its own hi vector — no
+    per-pair gathers, no (P, P) materialization.  The in-reach pair
+    count (the weight denominator) uses the same contraction against a
+    static pre-skewed count table (``_pair_count_panel``).
 
-    Intersection pixels (within both patches' reach) are kept with
-    probability 0.2 via a stateless per-(pair, p1, p2) PRNG (the CUDA
-    kernel uses a sequential LCG; order-dependence makes bit parity
-    impossible in a parallel formulation, the keep-probability matches).
+    Intersection pixels (within both patches' reach) are downweighted to
+    0.2 IN EXPECTATION via an exactly-computed correction term over the
+    separable intersection boxes (the CUDA kernel randomly keeps 20% via
+    a sequential LCG, computePatchGraph.cu:74-86; order-dependence makes
+    bit parity impossible in any parallel formulation — the expected
+    contribution matches, with zero sampling variance).  ``seed`` is
+    retained for API compatibility and no longer affects the result.
     """
     ndim = len(cfg.ps)
     ps = np.asarray(cfg.ps)
@@ -627,10 +659,10 @@ def patch_graph_weights(
 
     # orientation balancing: a pair may be computed from either endpoint —
     # acc/fg_cnt are exactly symmetric under (c1, c2) swap (S_sym symmetry
-    # + the fwd lex bounds mirror), only the stateless intersection-keep
-    # draws differ (same keep probability).  Assign each pair to its
-    # busier endpoint so pairs concentrate into fewer panel segments
-    # (each segment is one sequential lax.map step).
+    # + the fwd lex bounds mirror; the expectation-form intersection
+    # correction is symmetric too).  Assign each pair to its busier
+    # endpoint so pairs concentrate into fewer panel segments (each
+    # segment is one sequential lax.map step).
     cnt = np.bincount(id_pairs[near_idx].ravel(),
                       minlength=len(centers))
     a_e = id_pairs[near_idx, 0]
