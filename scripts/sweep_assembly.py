@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--out", default="parity/sweep_ft.json")
     ap.add_argument("--quick", action="store_true",
                     help="only the reference-recipe rows")
+    ap.add_argument("--only", default=None,
+                    help="run a single combo by name")
     ap.add_argument("--anchor", action="store_true",
                     help="re-score the best row under both metric "
                          "families and write the trained_e2e anchor "
@@ -143,7 +145,9 @@ def main():
         dict(name="pt0.6fc0.4", pt=0.6, fc=0.4, mws=True, skel=True,
              ni=(0.9, 0.1)),
     ]
-    if args.quick:
+    if args.only:
+        combos = [c for c in combos if c["name"] == args.only]
+    elif args.quick:
         combos = combos[:1]
     rms = (0, 200, 400, 500, 600)
 
