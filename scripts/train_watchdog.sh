@@ -19,7 +19,9 @@ while true; do
   PID=$!
   echo $PID > /tmp/train_watchdog.pid
   LAUNCH=$(date +%s)
-  GRACE=480   # first compile takes minutes and writes nothing
+  # first compile takes minutes (more for the code-head model) and
+  # writes nothing; killing mid-compile can wedge the axon worker
+  GRACE=${WATCHDOG_GRACE:-480}
   # monitor: kill on stall (log older than STALL_S, measured only
   # against progress made SINCE this launch)
   while kill -0 $PID 2>/dev/null; do
