@@ -91,12 +91,12 @@ def net_shapes(model, cfg, input_extent=156):
 
 
 def run_assembly(affs, fg, numinst, engine, patchshape=PS,
-                 skeletonize=False):
+                 skeletonize=False, pt=0.5, fc=0.5):
     from patchperpix_tpu.assembly import VoteInstancesParams, to_instance_seg
 
     params = VoteInstancesParams(
         patchshape=tuple(patchshape), engine=engine,
-        patch_threshold=0.5, fc_threshold=0.5,
+        patch_threshold=pt, fc_threshold=fc,
         overlapping_inst=True, mws=True,
         select_patches_for_sparse_data=True,
         skeletonize_foreground=skeletonize)
@@ -176,7 +176,10 @@ def self_consistent_pipeline(gt_labels):
         dec = decode_volume_device(model, params, code, fg, cfg)
         _sync(dec)
         t2 = time.perf_counter()
-        inst, _ = run_assembly(dec, fg, numinst, "jax", skeletonize=True)
+        # pt=0.6 swept best for this checkpoint (parity/sweep_dec.json:
+        # avg_f1_cov 0.609 / AP@0.5 0.5 with rm 500)
+        inst, _ = run_assembly(dec, fg, numinst, "jax", skeletonize=True,
+                               pt=0.6)
         t3 = time.perf_counter()
         timing.update(predict=t1 - t0, decode=t2 - t1, assemble=t3 - t2,
                       total=t3 - t0)
