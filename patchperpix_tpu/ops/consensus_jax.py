@@ -384,7 +384,9 @@ def _graph_gather_tables(cfg: ConsensusConfig):
 
 @functools.lru_cache(maxsize=8)
 def _pair_count_panel(ps_t: tuple, strides_t: tuple):
-    """Pre-skewed in-reach pair-count table (bf16 0/1), shape (P, E...).
+    """Pre-skewed in-reach pair-count table (bf16 0/1), shape (P, U...),
+    U = 3*ps - 2 per axis (the UNPADDED skewed extent, matching
+    ``_skew_panel``).
 
     The per-pixel-pair in-reach test of computePatchGraph.cu (bounds
     ordered by flat pixel index) depends on (p1, p2, dc) only through
@@ -394,13 +396,15 @@ def _pair_count_panel(ps_t: tuple, strides_t: tuple):
 
     (|dt| <= 3(ps-1) always, since |dc| <= 2(ps-1) and |dp| <= ps-1).
     FT is laid out per first-patch pixel exactly like the skewed
-    consensus panel, so the SAME dynamic-slice start (dc + 2(ps-1))
-    yields the full (P, P) count matrix:
+    consensus panel (padded layout), so the dynamic-slice start
+    (dc + 2(ps-1)) yields the full (P, P) count matrix:
 
         in_cnt[p1, p2] = FP[p1, dc + 2(ps-1) + off(p2)]
 
-    This removes the per-pair (P, P, ndim) integer-bound intermediates
-    (x1/x2/flat-index compare) from the segment loop entirely.
+    Unlike the VALUE panel, this table cannot shrink to the unpadded
+    skewed extent: pairs at |dt_k| = ps are in-reach (count) but have no
+    consensus entry (value), so the count field has genuine support over
+    the whole E = 5*ps - 4 extent where the value field is zero.
     """
     ps = np.asarray(ps_t, np.int64)
     ndim = len(ps)
@@ -429,18 +433,22 @@ def _pair_count_panel(ps_t: tuple, strides_t: tuple):
 
 def _skew_panel(pb: jnp.ndarray, ps: np.ndarray,
                 neigh: np.ndarray) -> jnp.ndarray:
-    """(neigh..., ps...) patch consensus window -> skewed (P, E...) panel.
+    """(neigh..., ps...) patch consensus window -> skewed (P, U...) panel.
 
     Input: pb[d, p] = S[d][c + offset(p) - rad] (the per-patch window).
-    Output panel[p, y] = S[y - offset(p) - (ps-1)][c + offset(p) - rad]
-    with y per-axis in [0, E), E = neigh + 3*(ps-1); out-of-range offsets
-    read zero.  After the skew, the consensus value for a pixel pair
-    (p1 in patch at c1, p2 in patch at c2) is
+    Output panel[p, u] = S[u - offset(p)][c + offset(p) - rad] with u
+    per-axis in [0, U), U = neigh + ps - 1 = 3*ps - 2 (the UNPADDED
+    skewed extent); out-of-range offsets read zero.  After contracting
+    the patch axis into a field and zero-padding the FIELD by (ps-1) per
+    side — which commutes exactly with the contraction, since the old
+    padded-panel entries were zero — the consensus value sum for a pixel
+    pair (p1 in patch at c1, p2 in patch at c2) is read at
 
-        panel[p1, dc + 2*(ps-1) + offset(p2)]   (dc = c2 - c1)
+        field_padded[dc + 2*(ps-1) + offset(p2)]   (dc = c2 - c1)
 
-    i.e. the p1-dependence is GONE from the index: a pair's full (P, P)
-    value matrix is ONE contiguous dynamic-slice of the panel.  The skew
+    i.e. the p1-dependence is GONE from the index.  Padding the ~80x
+    smaller field instead of the panel cuts the skew materialization and
+    the matmul operand ~4x at 7^3 (31^3 -> 19^3 extents).  The skew
     itself is the classic pad+reshape shear (stride tricks), no gathers.
     """
     ndim = len(ps)
@@ -465,13 +473,12 @@ def _skew_panel(pb: jnp.ndarray, ps: np.ndarray,
         # restore axis order (d_ax now has extent ext)
         inv = np.argsort(perm)
         out = jnp.transpose(t, inv)
-    # flatten patch axes in front, pad offset axes by ps-1 both sides so a
-    # dynamic-slice start dc + 2*(ps-1) is always in range for |dc|<=2(ps-1)
+    # flatten patch axes in front; the (ps-1)-per-side zero pad that makes
+    # dynamic-slice starts dc + 2*(ps-1) in-range happens on the contracted
+    # FIELD in the caller, not on the panel
     d_ext = out.shape[:ndim]
     out = out.reshape(tuple(d_ext) + (-1,))
-    out = jnp.moveaxis(out, -1, 0)               # (P, d_ext...)
-    out = jnp.pad(out, [(0, 0)] + [(int(p) - 1, int(p) - 1) for p in ps])
-    return out
+    return jnp.moveaxis(out, -1, 0)              # (P, d_ext...)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "drop_intersection",
@@ -542,7 +549,9 @@ def _patch_graph_weights_jit(
     # intersection boxes) is computed exactly via a masked-hi1 matvec and
     # subtracted at weight 0.8 — same mean as the Bernoulli(0.2) keep,
     # zero variance (deterministic, order-free).
-    E_sp = tuple(int(5 * p - 4) for p in ps)
+    U_sp = tuple(int(3 * p - 2) for p in ps)     # unpadded skewed extent
+    E_sp = tuple(int(5 * p - 4) for p in ps)     # padded (slice-able) extent
+    fpad = [(int(p) - 1, int(p) - 1) for p in ps]
     cnt_flat = cnt_panel.reshape(P, -1).astype(jnp.float32)
     hp = jax.lax.Precision.HIGHEST
 
@@ -553,10 +562,16 @@ def _patch_graph_weights_jit(
             cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
             (n_off,) + blk_sp).astype(jnp.float32).reshape(
                 tuple(int(v) for v in neigh) + blk_sp)
-        panel = _skew_panel(pb, ps, neigh).reshape(P, -1)   # (P, E^d)
+        panel = _skew_panel(pb, ps, neigh).reshape(P, -1)   # (P, U^d)
         hi1 = HIs[i]
 
-        field = jnp.matmul(hi1, panel, precision=hp).reshape(E_sp)
+        # value side contracts on the unpadded extent, then pads the tiny
+        # FIELD so slice starts dc + 2(ps-1) are in range — identical
+        # values (the old padded-panel entries were zero) at ~4x less skew
+        # materialization and matmul traffic.  The count table keeps the
+        # padded extent (genuine support there, see _pair_count_panel).
+        field = jnp.pad(
+            jnp.matmul(hi1, panel, precision=hp).reshape(U_sp), fpad)
         cnt_field = jnp.matmul(hi1, cnt_flat, precision=hp).reshape(E_sp)
 
         dcs = centers[partners].astype(jnp.int32) - c1[None]   # (G, ndim)
@@ -569,7 +584,9 @@ def _patch_graph_weights_jit(
             box_b = jnp.all(jnp.abs(offs_j[None] - rad_j + dcs[:, None])
                             <= rad_j, axis=-1)
             mh1 = hi1[None, :] * box_a
-            corr = jnp.matmul(mh1, panel).reshape((-1,) + E_sp)
+            corr = jnp.pad(
+                jnp.matmul(mh1, panel).reshape((-1,) + U_sp),
+                [(0, 0)] + fpad)
             corr_cnt = jnp.matmul(mh1, cnt_flat).reshape((-1,) + E_sp)
         else:
             box_b = corr = corr_cnt = None
