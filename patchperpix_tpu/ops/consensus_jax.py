@@ -481,6 +481,59 @@ def _skew_panel(pb: jnp.ndarray, ps: np.ndarray,
     return jnp.moveaxis(out, -1, 0)              # (P, d_ext...)
 
 
+def _field_band(x: jnp.ndarray, ps, U_sp, E_sp) -> jnp.ndarray:
+    """Flat (prod(U),) field -> zero-padded 2-D BAND layout (E0, prod(E[1:])).
+
+    Equivalent to ``pad(x.reshape(U), (ps-1, ps-1))`` followed by a
+    flatten of the trailing axes, but built with 2-D pads so the result
+    (and the per-pair dynamic slices taken from it) live in an (8, 128)
+    lane tiling with ~1.1x physical padding — a 3-D (31, 31, 31) layout
+    tiles its last TWO dims and inflates HBM ~4x (31 -> 128 lanes).
+    Column index of spatial (y, x) is y * E2 + x (suffix-product
+    strides), so a (ps0, W) band slice at (z0, y0*E2 + x0) covers the
+    whole (ps0, ps1, ps2) window; the off-window columns in the band are
+    masked by the matching ``_h2_band`` embedding of the reducing
+    vector.
+    """
+    ndim = len(U_sp)
+    lo = [int(p - 1) for p in ps]
+    hi = [int(e - u - l) for e, u, l in zip(E_sp, U_sp, lo)]
+    x = x.reshape(tuple(int(u) for u in U_sp))
+    x = jnp.pad(x, [(0, 0)] * (ndim - 1) + [(lo[-1], hi[-1])])
+    col = int(E_sp[-1])
+    for ax in range(ndim - 2, 0, -1):
+        x = x.reshape(x.shape[:ax] + (x.shape[ax] * col,))
+        x = jnp.pad(x, [(0, 0)] * ax + [(lo[ax] * col, hi[ax] * col)])
+        col = int(E_sp[ax]) * col
+    return jnp.pad(x, [(lo[0], hi[0])] + [(0, 0)] * (x.ndim - 1))
+
+
+def _h2_band(h2: jnp.ndarray, ps, ext) -> jnp.ndarray:
+    """Embed per-patch-pixel vectors (…, P) into the band layout
+    (…, ps0, W) matching a (ps0, W) slice of a ``_field_band``-laid-out
+    field with per-axis column strides ``suffix-products of ext``.
+
+    W = 1 + sum_j (ps_j - 1) * prod(ext[j+1:]); entries off the patch
+    window are zero, so an elementwise multiply-reduce of the embedded
+    vector against a band slice equals the (ps…) window dot product.
+    """
+    ndim = len(ps)
+    lead = h2.shape[:-1]
+    nl = len(lead)
+    x = h2.reshape(lead + tuple(int(p) for p in ps))
+    u = 1
+    for ax in range(ndim - 1, 1, -1):
+        target = int(ext[ax]) * u
+        tail = x.shape[nl + ax]
+        x = jnp.pad(x, [(0, 0)] * (nl + ax) + [(0, target - tail)])
+        x = x.reshape(x.shape[:nl + ax - 1]
+                      + (x.shape[nl + ax - 1] * target,))
+        u = target
+    W = 1 + sum(int(ps[j] - 1) * int(np.prod(ext[j + 1:]))
+                for j in range(1, ndim))
+    return x[..., :W]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "drop_intersection",
                                               "n_unique", "group"))
 def _patch_graph_weights_jit(
@@ -551,9 +604,15 @@ def _patch_graph_weights_jit(
     # zero variance (deterministic, order-free).
     U_sp = tuple(int(3 * p - 2) for p in ps)     # unpadded skewed extent
     E_sp = tuple(int(5 * p - 4) for p in ps)     # padded (slice-able) extent
-    fpad = [(int(p) - 1, int(p) - 1) for p in ps]
     cnt_flat = cnt_panel.reshape(P, -1).astype(jnp.float32)
     hp = jax.lax.Precision.HIGHEST
+    # band-layout geometry (see _field_band): column strides are suffix
+    # products of the extents; h2 windows embed into (ps0, W) bands
+    uE = [int(np.prod(E_sp[j + 1:])) for j in range(ndim)]
+    uU = [int(np.prod(U_sp[j + 1:])) for j in range(ndim)]
+    W_E = 1 + sum(int(ps[j] - 1) * uE[j] for j in range(1, ndim))
+    W_U = 1 + sum(int(ps[j] - 1) * uU[j] for j in range(1, ndim))
+    ps0 = int(ps[0])
 
     def one_segment(seg):
         i, partners, valid = seg
@@ -570,12 +629,16 @@ def _patch_graph_weights_jit(
         # values (the old padded-panel entries were zero) at ~4x less skew
         # materialization and matmul traffic.  The count table keeps the
         # padded extent (genuine support there, see _pair_count_panel).
-        field = jnp.pad(
-            jnp.matmul(hi1, panel, precision=hp).reshape(U_sp), fpad)
-        cnt_field = jnp.matmul(hi1, cnt_flat, precision=hp).reshape(E_sp)
+        # Fields live in the 2-D band layout (~4x less physical HBM than
+        # a tiled (E0, E1, E2) array; see _field_band).
+        field = _field_band(jnp.matmul(hi1, panel, precision=hp),
+                            ps, U_sp, E_sp)
+        cnt_field = jnp.matmul(hi1, cnt_flat, precision=hp).reshape(
+            (int(E_sp[0]), -1))
 
         dcs = centers[partners].astype(jnp.int32) - c1[None]   # (G, ndim)
         hi2 = HIs[partners]                                    # (G, P)
+        h2E = _h2_band(hi2, ps, E_sp)                          # (G, ps0, W_E)
         if drop_intersection:
             # per-endpoint intersection boxes:
             # x1 within rad of c2  <=>  |off(p1) - rad - dc| <= rad
@@ -584,38 +647,50 @@ def _patch_graph_weights_jit(
             box_b = jnp.all(jnp.abs(offs_j[None] - rad_j + dcs[:, None])
                             <= rad_j, axis=-1)
             mh1 = hi1[None, :] * box_a
-            corr = jnp.pad(
-                jnp.matmul(mh1, panel).reshape((-1,) + U_sp),
-                [(0, 0)] + fpad)
-            corr_cnt = jnp.matmul(mh1, cnt_flat).reshape((-1,) + E_sp)
+            # value-side correction field on the UNPADDED extent: a
+            # nonzero correction needs |dc| <= rad (else both boxes are
+            # empty and h2bU == 0 masks whatever the clamped slice
+            # reads), and there the start dc + ps - 1 is in range.
+            corr = jnp.matmul(mh1, panel).reshape(
+                (-1, int(U_sp[0]), int(np.prod(U_sp[1:]))))
+            h2bU = _h2_band(hi2 * box_b, ps, U_sp)             # (G, ps0, W_U)
+            # count-side correction collapses to a PRODUCT OF SCALARS:
+            # for p1 in box_a and p2 in box_b, x1 and x2 both lie in the
+            # patch intersection box, so |dt| = |x2 - x1| <= ps - 1 per
+            # axis and the in-reach table (_pair_count_panel) is
+            # identically 1 there; dot(h2b, corr_cnt_slice) therefore
+            # equals dot(hi1, box_a) * dot(h2, box_b) exactly — the
+            # (P, E^d) count matmul and its (G, E^d) materialization
+            # drop out entirely.
+            a_vec = jnp.matmul(box_a.astype(jnp.float32), hi1)  # (G,)
         else:
-            box_b = corr = corr_cnt = None
+            corr = h2bU = a_vec = None
 
-        def one_pair(j, ok, dc, h2, bb, cf, ccf):
-            start = tuple(dc[k] + 2 * (int(ps[k]) - 1)
-                          for k in range(ndim))
-            sl = jax.lax.dynamic_slice(field, start, blk_sp).reshape(-1)
-            csl = jax.lax.dynamic_slice(cnt_field, start,
-                                        blk_sp).reshape(-1)
-            acc = jnp.dot(h2, sl, precision=hp)
-            fg_cnt = jnp.dot(h2, csl, precision=hp)
+        def one_pair(ok, dc, h2e, cf, h2bu, a):
+            z0 = dc[0] + 2 * (int(ps[0]) - 1)
+            col0 = sum((dc[j] + 2 * (int(ps[j]) - 1)) * uE[j]
+                       for j in range(1, ndim))
+            sl = jax.lax.dynamic_slice(field, (z0, col0), (ps0, W_E))
+            csl = jax.lax.dynamic_slice(cnt_field, (z0, col0), (ps0, W_E))
+            acc = jnp.sum(h2e * sl)
+            fg_cnt = jnp.sum(h2e * csl)
             if drop_intersection:
-                h2b = h2 * bb
-                cfs = jax.lax.dynamic_slice(cf, start, blk_sp).reshape(-1)
-                ccfs = jax.lax.dynamic_slice(ccf, start,
-                                             blk_sp).reshape(-1)
-                acc = acc - 0.8 * jnp.dot(h2b, cfs)
-                fg_cnt = fg_cnt - 0.8 * jnp.dot(h2b, ccfs)
+                zc = jnp.clip(dc[0] + int(ps[0]) - 1, 0,
+                              int(U_sp[0]) - ps0)
+                cc = sum(jnp.clip(dc[j] + int(ps[j]) - 1, 0,
+                                  int(U_sp[j]) - int(ps[j])) * uU[j]
+                         for j in range(1, ndim))
+                cfs = jax.lax.dynamic_slice(cf, (zc, cc), (ps0, W_U))
+                acc = acc - 0.8 * jnp.sum(h2bu * cfs)
+                fg_cnt = fg_cnt - 0.8 * a * jnp.sum(h2bu)
             w = acc / jnp.maximum(1.0, fg_cnt) if cfg.norm_graph else acc
             return jnp.where(ok, w, 0.0)
 
         if drop_intersection:
-            return jax.vmap(one_pair)(partners, valid, dcs, hi2,
-                                      box_b, corr, corr_cnt)
+            return jax.vmap(one_pair)(valid, dcs, h2E, corr, h2bU, a_vec)
         return jax.vmap(
-            lambda j, ok, dc, h2: one_pair(j, ok, dc, h2, None, None,
-                                           None))(partners, valid, dcs,
-                                                  hi2)
+            lambda ok, dc, h2e: one_pair(ok, dc, h2e, None, None,
+                                         None))(valid, dcs, h2E)
 
     # sequential map: vmapping segments (batch_size=) turns the panel
     # dynamic-slices into gathers and measured 2.5x SLOWER on TPU
