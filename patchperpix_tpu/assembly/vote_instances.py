@@ -353,6 +353,7 @@ def to_instance_seg(
         cv_arg = np.asarray(params.center_valid, dtype=bool)
         assert cv_arg.shape == tuple(vol_shape)
     sharded_scores = None
+    folded_scores = None
     if use_jax:
         import jax
 
@@ -363,6 +364,23 @@ def to_instance_seg(
         if cv_arg is not None:
             cv_arg = jax.device_put(cv_arg)
         n_sh = _sharded_mesh_size(params, vol_shape, ccfg)
+        # 2x z->x lane folding: when the row extent underuses the 128
+        # VPU lanes, run consensus+rank on two haloed z-slabs placed
+        # side by side (whole-volume-exact; see fold2x_geometry).  Only
+        # when the rank stage actually runs (it shares the folded
+        # arrays); oracle/injected-selection runs skip it.
+        fold_geom = None
+        if (use_pallas and n_sh <= 1
+                and not os.environ.get("PPP_DISABLE_FOLD2X")
+                and not (params.use_score_oracle
+                         and params.oracle_scores is not None)
+                and not (params.skipRanking
+                         and (params.selected_patches is not None
+                              or params.selected_patch_pairs is not None))
+                and not os.environ.get("PPP_DISABLE_PALLAS_RANK")):
+            from ..ops.pallas_consensus import fold2x_geometry
+
+            fold_geom = fold2x_geometry(ccfg, vol_shape)
         with _stage_trace("consensus"):
             if n_sh > 1:
                 # multi-device: z-shard consensus + rank over the mesh
@@ -378,6 +396,13 @@ def to_instance_seg(
                     "center_valid + sharded not supported together"
                 cons, sharded_scores = sharded_consensus_and_rank(
                     pred_affs_dev, ccfg, mesh, overlap=overlap_arg)
+            elif use_pallas and fold_geom is not None:
+                from ..ops.pallas_consensus import (
+                    consensus_and_rank_pallas_fold2x)
+
+                cons, folded_scores = consensus_and_rank_pallas_fold2x(
+                    pred_affs_dev, ccfg, fold_geom, overlap=overlap_arg,
+                    center_valid=cv_arg)
             elif use_pallas:
                 # the pallas kernel emits the SYMMETRIZED consensus
                 # directly (canonical half identical; no separate
@@ -413,6 +438,10 @@ def to_instance_seg(
     elif sharded_scores is not None:
         with _stage_trace("rank"):
             scores = np.asarray(sharded_scores)
+    elif folded_scores is not None:
+        # computed alongside the folded consensus (shared folded inputs)
+        with _stage_trace("rank"):
+            scores = np.asarray(folded_scores)
     elif use_pallas and not os.environ.get("PPP_DISABLE_PALLAS_RANK"):
         # pallas rank consumes the symmetrized consensus the pallas
         # consensus kernel emitted (same grid/banded streaming; replaces

@@ -431,6 +431,41 @@ def _pair_count_panel(ps_t: tuple, strides_t: tuple):
     return _jax.device_put(jnp.asarray(FP, jnp.bfloat16))
 
 
+@functools.lru_cache(maxsize=8)
+def _shear_tables(ps_t: tuple):
+    """Per-axis one-hot shear tables T_k[p, d, e] = [e == d + p].
+
+    Contracting the (neigh…, ps…) window against these on the MXU
+    performs the same shear as ``_skew_panel`` (measured ~1.7x faster
+    than the pad+reshape VPU shuffles at 7^3: scripts/skew_micro.py)."""
+    ps = np.asarray(ps_t, np.int64)
+    out = []
+    for k in range(len(ps)):
+        pm = int(ps[k])
+        dm = 2 * pm - 1
+        em = 3 * pm - 2
+        t = np.zeros((pm, dm, em), np.float32)
+        p_i, d_i = np.meshgrid(np.arange(pm), np.arange(dm), indexing="ij")
+        t[p_i, d_i, p_i + d_i] = 1.0
+        # numpy constants: this is called under jit, where device_put
+        # would cache a tracer (UnexpectedTracerError on the next trace)
+        out.append(t)
+    return tuple(out)
+
+
+def _dot_shear_panel(pb: jnp.ndarray, ps: np.ndarray) -> jnp.ndarray:
+    """(neigh…, ps…) window -> skewed (P, prod(U)) panel via one-hot MXU
+    contractions; numerically equal to ``_skew_panel`` (each output
+    element is a single 1.0 * value product)."""
+    hp = jax.lax.Precision.HIGHEST
+    Tz, Ty, Tx = _shear_tables(tuple(int(p) for p in ps))
+    t = jnp.einsum("abcdef,daZ->bcdefZ", pb, Tz, precision=hp)
+    t = jnp.einsum("bcdefZ,ebY->cdefZY", t, Ty, precision=hp)
+    t = jnp.einsum("cdefZY,fcX->defZYX", t, Tx, precision=hp)
+    P = int(np.prod(ps))
+    return t.reshape(P, -1)
+
+
 def _skew_panel(pb: jnp.ndarray, ps: np.ndarray,
                 neigh: np.ndarray) -> jnp.ndarray:
     """(neigh..., ps...) patch consensus window -> skewed (P, U...) panel.
@@ -621,7 +656,10 @@ def _patch_graph_weights_jit(
             cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
             (n_off,) + blk_sp).astype(jnp.float32).reshape(
                 tuple(int(v) for v in neigh) + blk_sp)
-        panel = _skew_panel(pb, ps, neigh).reshape(P, -1)   # (P, U^d)
+        if ndim == 3:
+            panel = _dot_shear_panel(pb, ps)                # (P, U^d)
+        else:
+            panel = _skew_panel(pb, ps, neigh).reshape(P, -1)
         hi1 = HIs[i]
 
         # value side contracts on the unpadded extent, then pads the tiny

@@ -82,6 +82,65 @@ def _greedy_cover_volume(affs, centers, overlap_rows, mask, interior,
 
 
 @functools.partial(jax.jit, static_argnames=("ps", "fc_threshold"))
+def _greedy_cover_min_scatter(affs, centers, overlap_rows, mask, interior,
+                              ps: tuple, fc_threshold: float):
+    """Exact pix_th == 0 greedy cover, vectorized (no sequential walk).
+
+    For the sparse-data threshold (select a ranked candidate iff it
+    covers >= 1 uncovered pixel, foreground_cover.py:35-39 cascade
+    collapsed to [0]), the sequential walk has a closed form.  Define
+    m(x) = min rank over candidates whose fg-window contains pixel x.
+    By induction over rank, candidate m(x) is always selected (x is
+    uncovered when it is visited), so x is covered exactly at rank
+    m(x), and a candidate is selected iff it owns some pixel's minimum:
+
+        selected = { c : exists x with m(x) == rank(c) }
+
+    The reference's rem > 0 gate (stop selecting once all INTERIOR
+    to-cover pixels are covered) adds a rank cutoff r* = max over
+    interior to-cover pixels of m(x) (+inf while any interior pixel is
+    uncoverable): candidates ranked past r* are visited with rem == 0
+    and rejected.  m is one min-reduction over P shifted rank-index
+    volumes — O(P) wide vector ops instead of O(n) scalar loop steps.
+    """
+    ndim = len(ps)
+    n = centers.shape[0]
+    rad = np.asarray(ps) // 2
+    vol_shape = mask.shape
+    INF = jnp.int32(2 ** 30)
+
+    ranks = jnp.where(overlap_rows, INF, jnp.arange(n, dtype=jnp.int32))
+    rankvol = jnp.full(vol_shape, INF, jnp.int32).at[
+        tuple(centers[:, k] for k in range(ndim))].set(ranks)
+
+    offs = patch_offsets(np.asarray(ps))
+    shifts = jnp.asarray(offs - rad[None, :], jnp.int32)
+    from .consensus_jax import _shift_nd
+
+    def m_q(q, s):
+        gated = jnp.where(affs[q] > fc_threshold, rankvol, INF)
+        # _shift_nd zero-fills; shift the complement so out-of-range
+        # reads INF instead of rank 0
+        return INF - _shift_nd(INF - gated, s, tuple(range(ndim)))
+
+    m_all = jnp.min(jax.vmap(m_q)(jnp.arange(affs.shape[0]), shifts),
+                    axis=0)
+    m_all = jnp.where(mask > 0.5, m_all, INF)
+
+    int_mask = (interior > 0.5) & (mask > 0.5)
+    r_star = jnp.max(jnp.where(int_mask, m_all, -1),
+                     initial=jnp.int32(-1))
+    # m == INF pixels have no coverer at all (they keep r_star at INF,
+    # i.e. no rank cutoff, but are never themselves covered)
+    covered = (m_all <= r_star) & (m_all < INF)
+    running = jnp.where(covered, 0.0, mask)
+
+    idx = jnp.where(covered, m_all, n)           # trash slot n
+    selected = jnp.zeros((n + 1,), bool).at[idx.reshape(-1)].set(True)
+    return selected[:n], running
+
+
+@functools.partial(jax.jit, static_argnames=("ps", "fc_threshold"))
 def _thin_cover_volume_lazy(affs, centers, mask, interior,
                             ps: tuple, fc_threshold: float):
     """Exact lazy-greedy set cover.
@@ -250,12 +309,23 @@ def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
     pix_ths = (0,) if sparse_data else tuple(
         t for t in (500, 100, 50, 10, 0) if t < mid)
 
-    selected, running = _greedy_cover_volume(
-        jnp.asarray(affs), jnp.asarray(centers),
-        jnp.asarray(overlap_rows),
-        jnp.asarray(mask_to_cover, jnp.float32),
-        jnp.asarray(interior),
-        tuple(int(p) for p in ps), pix_ths, float(fc_threshold))
+    import os
+    if pix_ths == (0,) and not os.environ.get("PPP_DISABLE_MINSCATTER"):
+        # single-threshold cover has an exact closed form (min-rank
+        # fields); the cascade (dense data) stays on the ranked walk
+        selected, running = _greedy_cover_min_scatter(
+            jnp.asarray(affs), jnp.asarray(centers),
+            jnp.asarray(overlap_rows),
+            jnp.asarray(mask_to_cover, jnp.float32),
+            jnp.asarray(interior),
+            tuple(int(p) for p in ps), float(fc_threshold))
+    else:
+        selected, running = _greedy_cover_volume(
+            jnp.asarray(affs), jnp.asarray(centers),
+            jnp.asarray(overlap_rows),
+            jnp.asarray(mask_to_cover, jnp.float32),
+            jnp.asarray(interior),
+            tuple(int(p) for p in ps), pix_ths, float(fc_threshold))
     selected = np.asarray(selected)
     running_vol = np.asarray(running) > 0.5
     out = [rp for i, rp in enumerate(ranked_patches) if selected[i]]

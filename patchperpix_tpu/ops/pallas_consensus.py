@@ -452,3 +452,103 @@ def rank_scores_pallas(affs: jnp.ndarray, cons_sym: jnp.ndarray,
     from .consensus_jax import rank_epilogue
 
     return rank_epilogue(acc, affs, hi, tgt, cfg, center_valid)
+
+
+# ---------------------------------------------------------------------------
+# 2x z->x lane folding
+# ---------------------------------------------------------------------------
+#
+# Both kernels vectorize over the in-plane (Y, X) extent of one z-slice per
+# grid cell; at FlyLight-crop scale (X = 50) that uses 50 of the VPU's 128
+# lanes.  Folding the volume into two z-slabs placed side by side along X
+# (with a ps_x - 1 zero gap so no patch window spans the seam, and a
+# 3 * rad_z overlap halo so consensus AND rank are exact in each slab's
+# owned half) roughly halves the grid (Z -> ~Z/2 + 3 rad_z cells) while
+# keeping per-cell cost flat — the same whole-volume-exact halo idea as the
+# z-sharded multi-chip path (parallel/sharded.py), applied to the lane
+# dimension of a single core.  Halo arithmetic: consensus at base pixel p1
+# reads affinities/masks within 2 rad_z of p1; rank at center c reads
+# consensus within rad_z, so a slab owning [0, mid) needs rows < mid +
+# 3 rad_z (reference reach: fillConsensusArray.cu pair loops * rankPatches.cu
+# window reads).  Global-interior center gating rides the existing
+# center_valid operand (the folded block's own interior test is wrong at
+# the seam columns and slab z-edges).
+
+
+def fold2x_geometry(cfg: ConsensusConfig, vol_shape):
+    """(mid, halo, gap, d0) when 2x z->x folding applies, else None.
+
+    Applies when the patch is true-3D, the volume is deep enough to
+    amortize the 3*rad_z halo, and the folded row (2X + gap plus the
+    right-operand margins) still fits the 128-lane VPU tile.
+    """
+    ps = np.asarray(cfg.ps)
+    if len(vol_shape) != 3 or int(ps[0]) <= 1:
+        return None
+    rad = ps // 2
+    Z, Y, X = (int(v) for v in vol_shape)
+    h = 3 * int(rad[0])
+    gap = int(ps[2]) - 1
+    mx = int(rad[2] + ps[2] - 1)
+    mid = (Z + 1) // 2
+    if Z < 4 * h or mid + h > Z:
+        return None
+    if 2 * X + gap + 2 * mx > 128:
+        return None
+    return mid, h, gap, mid + h
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "geom", "interpret"))
+def consensus_and_rank_pallas_fold2x(
+        affs: jnp.ndarray, cfg: ConsensusConfig, geom,
+        overlap: jnp.ndarray | None = None,
+        center_valid: jnp.ndarray | None = None,
+        interpret: bool = False):
+    """Consensus + rank via the Pallas kernels on the 2x-folded volume.
+
+    Returns (cons_sym, scores) on the ORIGINAL volume, numerically equal
+    to consensus_array_pallas + rank_scores_pallas run unfolded (each
+    slab sees every contribution its owned half needs; fold/unfold are
+    pure slice/concat).
+    """
+    mid, h, gap, d0 = geom
+    ps = np.asarray(cfg.ps)
+    rad = ps // 2
+    Z, Y, X = (int(s) for s in affs.shape[1:])
+
+    def fold(x):
+        s0 = x[..., :d0, :, :]
+        s1 = x[..., mid - h:, :, :]
+        pad1 = d0 - s1.shape[-3]
+        if pad1:
+            s1 = jnp.pad(s1, [(0, 0)] * (s1.ndim - 3)
+                         + [(0, pad1), (0, 0), (0, 0)])
+        gz = jnp.zeros(x.shape[:-3] + (d0, Y, gap), x.dtype)
+        return jnp.concatenate([s0, gz, s1], axis=-1)
+
+    def unfold(xf):
+        a = xf[..., :mid, :, :X]
+        b = xf[..., h:h + (Z - mid), :, X + gap:]
+        return jnp.concatenate([a, b], axis=-3)
+
+    # global-interior center gate: the folded block's interior test is
+    # wrong at the seam columns (slab edges that are volume boundaries
+    # globally) and too wide at slab z-edges; enforce the exact global
+    # gate through the center_valid operand
+    interior = np.zeros((Z, Y, X), bool)
+    interior[tuple(slice(int(r), dim - int(r)) if r else slice(None)
+                   for r, dim in zip(rad, (Z, Y, X)))] = True
+    cv = jnp.asarray(interior)
+    if center_valid is not None:
+        cv = cv & center_valid
+
+    affs_f = fold(affs)
+    ov_f = fold(overlap) if overlap is not None else None
+    cv_f = fold(cv)
+    cons_f = consensus_array_pallas(affs_f, cfg, overlap=ov_f,
+                                    center_valid=cv_f,
+                                    interpret=interpret)
+    scores_f = rank_scores_pallas(affs_f, cons_f, cfg, overlap=ov_f,
+                                  center_valid=cv_f, interpret=interpret)
+    return unfold(cons_f), unfold(scores_f)

@@ -76,3 +76,26 @@ def test_pallas_rank_equals_xla_on_tpu():
         sym = symmetrize_consensus(cons, cfg)
         got = np.asarray(rank_scores_pallas(affs, sym, cfg))
         np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-3)
+
+
+def test_fold2x_matches_unfolded_on_tpu():
+    """Real Mosaic compile of the 2x z->x folded consensus+rank at the
+    flagship 7^3 patchshape (folded row must fit the 128-lane tile)."""
+    from patchperpix_tpu.ops.consensus_jax import rank_scores
+    from patchperpix_tpu.ops.pallas_consensus import (
+        consensus_and_rank_pallas_fold2x, fold2x_geometry)
+
+    for ps, shape, P in (((3, 3, 3), (13, 8, 10), 27),
+                         ((7, 7, 7), (38, 20, 22), 343)):
+        affs = _random_affs(shape, P, seed=8)
+        cfg = ConsensusConfig(patchshape=ps)
+        geom = fold2x_geometry(cfg, shape)
+        assert geom is not None
+        want_cons = np.asarray(consensus_array_pallas(affs, cfg))
+        cons_j = consensus_array(affs, cfg)
+        want_scores = np.asarray(rank_scores(affs, cons_j, cfg))
+        cons, scores = consensus_and_rank_pallas_fold2x(affs, cfg, geom)
+        np.testing.assert_allclose(np.asarray(cons), want_cons,
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(scores), want_scores,
+                                   atol=1e-2, rtol=1e-3)

@@ -87,3 +87,48 @@ def test_pallas_rank_interpret_overlap_and_int_counter():
     got = np.asarray(rank_scores_pallas(affs, sym, cfg, overlap=ov,
                                         interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_fold2x_interpret_matches_unfolded():
+    """2x z->x lane folding == unfolded consensus + rank (interpret)."""
+    from patchperpix_tpu.ops.consensus_jax import rank_scores
+    from patchperpix_tpu.ops.pallas_consensus import (
+        consensus_and_rank_pallas_fold2x, fold2x_geometry)
+
+    affs = _random_affs((13, 8, 10), 27, seed=6)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3))
+    geom = fold2x_geometry(cfg, (13, 8, 10))
+    assert geom is not None
+    want_cons = np.asarray(consensus_array_pallas(affs, cfg,
+                                                  interpret=True))
+    want_scores = np.asarray(rank_scores(
+        affs, consensus_array(affs, cfg), cfg))
+    cons, scores = consensus_and_rank_pallas_fold2x(
+        affs, cfg, geom, interpret=True)
+    np.testing.assert_allclose(np.asarray(cons), want_cons,
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), want_scores,
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_fold2x_interpret_overlap_variant():
+    from patchperpix_tpu.ops.consensus_jax import rank_scores
+    from patchperpix_tpu.ops.pallas_consensus import (
+        consensus_and_rank_pallas_fold2x, fold2x_geometry)
+
+    affs = _random_affs((14, 8, 10), 27, seed=7)
+    ov = np.zeros((14, 8, 10), bool)
+    ov[5:9, 3:6, 2:5] = True
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
+    geom = fold2x_geometry(cfg, (14, 8, 10))
+    assert geom is not None
+    want_cons = np.asarray(consensus_array_pallas(affs, cfg, overlap=ov,
+                                                  interpret=True))
+    want_scores = np.asarray(rank_scores(
+        affs, consensus_array(affs, cfg, overlap=ov), cfg, overlap=ov))
+    cons, scores = consensus_and_rank_pallas_fold2x(
+        affs, cfg, geom, overlap=ov, interpret=True)
+    np.testing.assert_allclose(np.asarray(cons), want_cons,
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), want_scores,
+                               atol=1e-3, rtol=1e-4)
