@@ -354,6 +354,7 @@ def to_instance_seg(
         assert cv_arg.shape == tuple(vol_shape)
     sharded_scores = None
     folded_scores = None
+    scores_dev = None
     if use_jax:
         import jax
 
@@ -439,9 +440,9 @@ def to_instance_seg(
         with _stage_trace("rank"):
             scores = np.asarray(sharded_scores)
     elif folded_scores is not None:
-        # computed alongside the folded consensus (shared folded inputs)
-        with _stage_trace("rank"):
-            scores = np.asarray(folded_scores)
+        # computed alongside the folded consensus (shared folded inputs);
+        # readback deferred to a candidate-only gather (see below)
+        scores, scores_dev = None, folded_scores
     elif use_pallas and not os.environ.get("PPP_DISABLE_PALLAS_RANK"):
         # pallas rank consumes the symmetrized consensus the pallas
         # consensus kernel emitted (same grid/banded streaming; replaces
@@ -450,15 +451,13 @@ def to_instance_seg(
         # ranking reads only canonical entries, identical values).
         from ..ops.pallas_consensus import rank_scores_pallas
 
-        with _stage_trace("rank"):
-            scores = np.asarray(rank_scores_pallas(
-                pred_affs_dev, cons, ccfg, overlap=overlap_arg,
-                center_valid=cv_arg))
+        scores, scores_dev = None, rank_scores_pallas(
+            pred_affs_dev, cons, ccfg, overlap=overlap_arg,
+            center_valid=cv_arg)
     elif use_jax:
-        with _stage_trace("rank"):
-            scores = np.asarray(rank_scores(pred_affs_dev, cons, ccfg,
-                                            overlap=overlap_arg,
-                                            center_valid=cv_arg))
+        scores, scores_dev = None, rank_scores(pred_affs_dev, cons, ccfg,
+                                               overlap=overlap_arg,
+                                               center_valid=cv_arg)
     else:
         scores = ref.rank_patches_reference(
             pred_affs, cons_np, ps, th=params.patch_threshold,
@@ -496,7 +495,24 @@ def to_instance_seg(
         if params.return_intermediates:
             return None, None
         return _maybe_unpad(instances, foreground, rad, params)
-    ranked = ref.rank_patch_list(all_patches, scores)
+    if scores is None:
+        # device scores: read back ONLY the candidate centers' values (a
+        # device gather + tiny D2H instead of the full volume over the
+        # slow relay), then sort exactly like rank_patch_list (stable
+        # descending, ties keep scan order).
+        import jax.numpy as _jnp
+
+        with _stage_trace("rank"):
+            cand = np.asarray(all_patches, dtype=np.int64)
+            flat = np.ravel_multi_index(
+                tuple(cand.T), tuple(int(v) for v in vol_shape))
+            svals = np.asarray(_jnp.take(
+                scores_dev.reshape(-1), _jnp.asarray(flat, _jnp.int32)),
+                dtype=np.float32)
+        order = np.argsort(-svals, kind="stable")
+        ranked = [(cand[i], float(svals[i])) for i in order]
+    else:
+        ranked = ref.rank_patch_list(all_patches, scores)
 
     _t_stage = time.perf_counter()
 

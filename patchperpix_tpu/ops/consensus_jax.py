@@ -28,6 +28,7 @@ offset index of delta d = p2 - p1 is d + ps - 1.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -453,11 +454,23 @@ def _shear_tables(ps_t: tuple):
     return tuple(out)
 
 
+def _graph_mxu_precision():
+    """MXU precision for the graph-stage contractions.
+
+    One operand of every contraction is exactly bf16-representable
+    (one-hot shear tables; 0/1 hi vectors), so 3-pass bf16 (HIGH)
+    splits only the value operand and is exact to ~2^-23 relative —
+    indistinguishable from HIGHEST at half the MXU passes.  Env
+    PPP_GRAPH_PRECISION={default,high,highest} for A/B timing."""
+    name = os.environ.get("PPP_GRAPH_PRECISION", "high").upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGH)
+
+
 def _dot_shear_panel(pb: jnp.ndarray, ps: np.ndarray) -> jnp.ndarray:
     """(neigh…, ps…) window -> skewed (P, prod(U)) panel via one-hot MXU
     contractions; numerically equal to ``_skew_panel`` (each output
     element is a single 1.0 * value product)."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = _graph_mxu_precision()
     Tz, Ty, Tx = _shear_tables(tuple(int(p) for p in ps))
     t = jnp.einsum("abcdef,daZ->bcdefZ", pb, Tz, precision=hp)
     t = jnp.einsum("bcdefZ,ebY->cdefZY", t, Ty, precision=hp)
@@ -640,7 +653,7 @@ def _patch_graph_weights_jit(
     U_sp = tuple(int(3 * p - 2) for p in ps)     # unpadded skewed extent
     E_sp = tuple(int(5 * p - 4) for p in ps)     # padded (slice-able) extent
     cnt_flat = cnt_panel.reshape(P, -1).astype(jnp.float32)
-    hp = jax.lax.Precision.HIGHEST
+    hp = _graph_mxu_precision()
     # band-layout geometry (see _field_band): column strides are suffix
     # products of the extents; h2 windows embed into (ps0, W) bands
     uE = [int(np.prod(E_sp[j + 1:])) for j in range(ndim)]
@@ -689,7 +702,7 @@ def _patch_graph_weights_jit(
             # nonzero correction needs |dc| <= rad (else both boxes are
             # empty and h2bU == 0 masks whatever the clamped slice
             # reads), and there the start dc + ps - 1 is in range.
-            corr = jnp.matmul(mh1, panel).reshape(
+            corr = jnp.matmul(mh1, panel, precision=hp).reshape(
                 (-1, int(U_sp[0]), int(np.prod(U_sp[1:]))))
             h2bU = _h2_band(hi2 * box_b, ps, U_sp)             # (G, ps0, W_U)
             # count-side correction collapses to a PRODUCT OF SCALARS:
