@@ -555,7 +555,8 @@ def to_instance_seg(
                     cover_affs_dev, mask_to_cover, ranked, ps,
                     fc_threshold=params.fc_threshold,
                     overlap=overlap_mask,
-                    sparse_data=params.select_patches_for_sparse_data)
+                    sparse_data=params.select_patches_for_sparse_data,
+                    want_running=False)
         else:
             host_cover_affs = (_thin_host(pred_affs)
                                if params.sample < 1.0 else pred_affs)

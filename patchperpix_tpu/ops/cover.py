@@ -288,8 +288,12 @@ def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
                         ranked_patches: list, patchshape,
                         fc_threshold: float = 0.5,
                         overlap: np.ndarray | None = None,
-                        sparse_data: bool = False):
-    """Device-side greedy foreground cover over the ranked patch list."""
+                        sparse_data: bool = False,
+                        want_running: bool = True):
+    """Device-side greedy foreground cover over the ranked patch list.
+
+    ``want_running=False`` skips the D2H readback of the running
+    (still-uncovered) volume — the assembly driver discards it."""
     ps = np.asarray(patchshape, dtype=np.int64)
     rad = ps // 2
     if not ranked_patches:
@@ -327,7 +331,7 @@ def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
             jnp.asarray(interior),
             tuple(int(p) for p in ps), pix_ths, float(fc_threshold))
     selected = np.asarray(selected)
-    running_vol = np.asarray(running) > 0.5
+    running_vol = (np.asarray(running) > 0.5) if want_running else None
     out = [rp for i, rp in enumerate(ranked_patches) if selected[i]]
     return out, running_vol
 
