@@ -341,6 +341,33 @@ def to_instance_seg(
                       and _jax.default_backend() == "tpu")
     else:
         use_pallas = False
+    # 2D volumes (Z == 1) are excluded from the 3D kernel by the Mosaic
+    # single-z miscompile; the row-folded 2D kernels cover them (BBBC010
+    # scale: the XLA scan is O(ps^2) sequential steps there)
+    use_pallas2d = False
+    S_fold2d = None
+    if (use_jax and not use_pallas
+            and params.engine in ("jax", "pallas")
+            and not os.environ.get("PPP_DISABLE_PALLAS2D")):
+        import jax as _jax
+
+        from ..ops.pallas_consensus_2d import pallas2d_supported
+
+        use_pallas2d = (pallas2d_supported(ccfg, vol_shape)
+                        and _jax.default_backend() == "tpu")
+        if use_pallas2d and not ccfg.cons_bf16 \
+                and not os.environ.get("PPP_PALLAS2D_F32"):
+            # at dataset scale the f32 fold layout (plus the rank
+            # operand stacks and the unfold) exceeds a 16 GB chip;
+            # bf16 storage is the 2D default above ~1.5 GB (the 3D
+            # path's cons_bf16 semantics: ~0.4% noise in rank/graph)
+            from ..ops.pallas_consensus_2d import fold_bytes_f32
+            fb = fold_bytes_f32(ccfg, vol_shape)
+            if fb > 1.5e9:
+                import dataclasses as _dc
+                ccfg = _dc.replace(ccfg, cons_bf16=True)
+                logger.info("2D pallas: bf16 consensus fold "
+                            "(f32 fold would be %.1f GB)", fb / 1e9)
     _t_stage = time.perf_counter()
 
     # (1) consensus (bool mask: integer masks defeat XLA mask fusion).
@@ -411,6 +438,19 @@ def to_instance_seg(
                 cons = consensus_array_pallas(pred_affs_dev, ccfg,
                                               overlap=overlap_arg,
                                               center_valid=cv_arg)
+            elif use_pallas2d:
+                # row-folded 2D kernel; keep the fold layout for the
+                # rank kernel.  The symmetrized unfold for the graph
+                # stage is DEFERRED until after rank so the fold array,
+                # the unfolded array and the rank operand stacks never
+                # coexist in HBM (at BBBC010 scale each is 3.5-4.6 GB).
+                from ..ops.pallas_consensus_2d import (
+                    consensus_fold_pallas_2d)
+
+                S_fold2d = consensus_fold_pallas_2d(
+                    pred_affs_dev, ccfg, overlap=overlap_arg,
+                    center_valid=cv_arg)
+                cons = None
             else:
                 cons = consensus_array(pred_affs_dev, ccfg,
                                        overlap=overlap_arg,
@@ -454,7 +494,22 @@ def to_instance_seg(
         scores, scores_dev = None, rank_scores_pallas(
             pred_affs_dev, cons, ccfg, overlap=overlap_arg,
             center_valid=cv_arg)
+    elif (use_pallas2d and S_fold2d is not None
+          and not os.environ.get("PPP_DISABLE_PALLAS_RANK")):
+        # fused rank + unfold with the ~4.6 GB fold buffer donated
+        from ..ops.pallas_consensus_2d import rank_and_unfold_pallas_2d
+
+        scores_dev, cons = rank_and_unfold_pallas_2d(
+            pred_affs_dev, S_fold2d, ccfg, overlap=overlap_arg,
+            center_valid=cv_arg)
+        scores, S_fold2d = None, None
     elif use_jax:
+        if use_pallas2d and cons is None:
+            # XLA-scan rank fallback needs the unfolded consensus now
+            from ..ops.pallas_consensus_2d import unfold_consensus
+
+            cons = unfold_consensus(S_fold2d, ccfg, vol_shape)
+            S_fold2d = None
         scores, scores_dev = None, rank_scores(pred_affs_dev, cons, ccfg,
                                                overlap=overlap_arg,
                                                center_valid=cv_arg)
@@ -463,6 +518,14 @@ def to_instance_seg(
             pred_affs, cons_np, ps, th=params.patch_threshold,
             bg_mode=params.bg_mode, norm_rank=params.rank_norm_patch_score,
             int_counter=params.rank_int_counter, overlap=overlap_arg)
+
+    if use_pallas2d and cons is None:
+        # deferred unfold: the fold array is no longer needed once the
+        # rank kernel (or the oracle/skip branch) has run
+        from ..ops.pallas_consensus_2d import unfold_consensus
+
+        cons = unfold_consensus(S_fold2d, ccfg, vol_shape)
+        S_fold2d = None
 
     logger.info("stage rank: %.2fs", time.perf_counter() - _t_stage)
     interior = np.zeros(vol_shape, dtype=bool)
@@ -607,7 +670,8 @@ def to_instance_seg(
 
     if use_jax:
         with _stage_trace("patch_graph"):
-            sym = cons if use_pallas else symmetrize_consensus(cons, ccfg)
+            sym = (cons if (use_pallas or use_pallas2d)
+                   else symmetrize_consensus(cons, ccfg))
             weights = np.asarray(patch_graph_weights(
                 pred_affs_dev, sym, pairs, ccfg, seed=params.seed,
                 drop_intersection=params.removeIntersection))
