@@ -119,6 +119,42 @@ def test_interpret_bf16_fold():
 
 
 @pytest.mark.tpu
+def test_pipeline_2d_pallas_matches_scan():
+    """Full to_instance_seg on a 2D volume: the pallas2d wiring
+    (fold consensus -> fused rank+unfold -> graph) must produce the
+    same instance map as the XLA-scan path (PPP_DISABLE_PALLAS2D)."""
+    import os
+
+    from patchperpix_tpu.assembly import (VoteInstancesParams,
+                                          to_instance_seg)
+    from patchperpix_tpu.ops.synthetic import labels_to_affinities
+    from patchperpix_tpu.utils.postprocess import relabel
+
+    labels = np.zeros((1, 40, 46), np.int32)
+    labels[0, 6:12, 5:30] = 1          # two elongated blobs + one square
+    labels[0, 20:26, 12:40] = 2
+    labels[0, 30:38, 4:12] = 3
+    ps = (1, 5, 5)
+    affs = labels_to_affinities(labels, np.array(ps))
+    fg = labels > 0
+    params = VoteInstancesParams(patchshape=ps, engine="jax",
+                                 mws=True,
+                                 select_patches_for_sparse_data=True)
+    res = {}
+    for mode in ("pallas2d", "scan"):
+        if mode == "scan":
+            os.environ["PPP_DISABLE_PALLAS2D"] = "1"
+        try:
+            inst, _ = to_instance_seg(affs, fg, fg.copy(),
+                                      fg.astype(np.uint8), params)
+        finally:
+            os.environ.pop("PPP_DISABLE_PALLAS2D", None)
+        res[mode] = relabel(np.asarray(inst))
+    np.testing.assert_array_equal(res["pallas2d"], res["scan"])
+    assert len(np.unique(res["scan"][res["scan"] > 0])) == 3
+
+
+@pytest.mark.tpu
 def test_mosaic_parity_p7():
     """Real Mosaic compile: the fold must dodge the single-z miscompile."""
     _check(7, (1, 40, 50), seed=11, interpret=False)
