@@ -33,6 +33,8 @@ from .unet import UNet
 class PPPConfig:
     patchshape: tuple = (7, 7, 7)
     num_channels: int = 1
+    # "unet" | "swinunetr" (torch_model.py:88-117 network_style)
+    network_style: str = "unet"
     num_fmaps: int = 20
     fmap_inc_factors: tuple = (3, 3, 3)
     fmap_dec_factors: tuple = (1.2, 1.2, 1.2)
@@ -87,6 +89,7 @@ class PPPConfig:
         return cls(
             patchshape=tuple(cfg.get("patchshape", (7, 7, 7))),
             num_channels=cfg.get("num_channels", 1),
+            network_style=cfg.get("network_style", "unet").lower(),
             num_fmaps=cfg.get("num_fmaps", 20),
             fmap_inc_factors=tuple(cfg.get("fmap_inc_factors", (3, 3, 3))),
             fmap_dec_factors=tuple(cfg.get("fmap_dec_factors", (1.2,) * 3)),
@@ -131,17 +134,34 @@ class PPPModel(nn.Module):
         else:
             ds = c.downsample_factors
             ae_ds = c.ae_downsample_factors
-        self.unet = UNet(
-            num_fmaps=c.num_fmaps,
-            fmap_inc_factors=c.fmap_inc_factors,
-            fmap_dec_factors=c.fmap_dec_factors,
-            downsample_factors=ds,
-            kernel_size=c.kernel_size,
-            num_repetitions=c.num_repetitions,
-            padding=c.padding,
-            upsampling=c.upsampling,
-            activation=c.activation,
-            dtype=dtype)
+        if c.network_style == "swinunetr":
+            # alternative backbone (torch_model.py:110-117); same-size
+            # output (no valid-conv margin), heads attach unchanged
+            from .swin import SwinUNETR
+            n_stages = len(ds)
+            self.unet = SwinUNETR(
+                feature_size=c.num_fmaps,
+                depths=(2,) * n_stages,
+                num_heads=tuple(
+                    max(1, c.num_fmaps * (2 ** i) // 8)
+                    for i in range(n_stages)),
+                dtype=dtype)
+        elif c.network_style == "unet":
+            self.unet = UNet(
+                num_fmaps=c.num_fmaps,
+                fmap_inc_factors=c.fmap_inc_factors,
+                fmap_dec_factors=c.fmap_dec_factors,
+                downsample_factors=ds,
+                kernel_size=c.kernel_size,
+                num_repetitions=c.num_repetitions,
+                padding=c.padding,
+                upsampling=c.upsampling,
+                activation=c.activation,
+                dtype=dtype)
+        else:
+            raise ValueError(
+                f"invalid network style: {c.network_style!r} "
+                "(expected 'unet' or 'swinunetr')")
         self.head_code_affs = nn.Conv(
             c.out_channels_head1, kernel_size=(1,) * ndim, padding="VALID",
             dtype=dtype, kernel_init=nn.initializers.xavier_uniform())

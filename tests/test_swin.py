@@ -1,0 +1,94 @@
+"""SwinUNETR backbone (network_style="swinunetr", torch_model.py:110-117)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patchperpix_tpu.models import PPPConfig, PPPModel
+from patchperpix_tpu.models.swin import (SwinUNETR, _rel_pos_index,
+                                         _shift_mask, _window_merge,
+                                         _window_partition)
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 4, 6, 8, 3).astype(np.float32))
+    ws = (2, 3, 4)
+    w = _window_partition(x, ws)
+    assert w.shape == (2 * 2 * 2 * 2, 24, 3)
+    back = _window_merge(w, ws, (4, 6, 8), 2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_rel_pos_index_symmetric_range():
+    idx = _rel_pos_index((3, 3))
+    assert idx.shape == (9, 9)
+    assert idx.min() >= 0 and idx.max() < 5 * 5
+    # relative position of a token to itself is the center entry everywhere
+    assert len(set(np.diag(idx))) == 1
+
+
+def test_shift_mask_blocks_cross_region_attention():
+    # 1D-ish case (2D with one unshifted dim): after a cyclic shift by
+    # ws//2, the last window mixes wrapped tokens with boundary tokens —
+    # those pairs must be masked
+    mask = _shift_mask((8, 4), (4, 4), (2, 0))
+    assert mask.shape == (2, 16, 16)
+    assert np.all(mask[0] == 0.0)          # interior window: no masking
+    assert np.any(mask[1] < -1e8)          # wrapped window: masked pairs
+    # masked-ness is symmetric
+    np.testing.assert_array_equal(mask[1], mask[1].T)
+
+
+@pytest.mark.parametrize("shape,nd", [((1, 2, 20, 22, 21), 3),
+                                      ((2, 1, 30, 37), 2)])
+def test_swin_unetr_forward_shapes(shape, nd):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(*shape[:1], *shape[2:], shape[1])
+                    .astype(np.float32))
+    net = SwinUNETR(feature_size=8, depths=(2, 2),
+                    num_heads=(2, 4), window_size=4)
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == shape[:1] + shape[2:] + (8,)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert float(jnp.abs(y).mean()) > 0
+    assert net.out_channels == 8
+
+
+def test_swin_gradients_flow_to_attention():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 12, 14, 2).astype(np.float32))
+    net = SwinUNETR(feature_size=4, depths=(2,), num_heads=(2,),
+                    window_size=4)
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(net.apply(p, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    attn_grads = [np.abs(np.asarray(v)).max() for k, v in flat
+                  if "WindowAttention" in jax.tree_util.keystr(k)]
+    assert attn_grads and max(attn_grads) > 0
+
+
+def test_ppp_model_network_style_swin():
+    cfg = PPPConfig(patchshape=(1, 9, 9), num_channels=1, num_fmaps=8,
+                    network_style="swinunetr",
+                    downsample_factors=((1, 2, 2),) * 2)
+    m = PPPModel(cfg)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 1, 24, 26).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x, method=m.full_init)
+    h1, h2 = m.apply(params, x)
+    assert h1.shape == (1, 81, 24, 26) and h2.shape == (1, 1, 24, 26)
+
+
+def test_ppp_model_invalid_network_style_raises():
+    cfg = PPPConfig(network_style="resnet")
+    with pytest.raises(ValueError, match="network style"):
+        PPPModel(cfg).init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 1, 20, 20, 20)))
