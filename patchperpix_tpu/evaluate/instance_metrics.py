@@ -159,6 +159,50 @@ def union_skel_coverage(gt_masks, pred_union: np.ndarray,
     return out
 
 
+def rand_voi_scores(gt_flat: np.ndarray, pred_flat: np.ndarray) -> dict:
+    """Foreground-restricted adapted Rand + variation of information.
+
+    The ISBI 2012 / CREMI conventions (the reference's ISBI numbers,
+    README.md:110-120, come from the challenge server which computes
+    exactly these — the reference has no local implementation):
+
+    - pixels with gt == 0 (boundary/background) are excluded;
+    - ``rand_fscore`` is V^Rand (the ISBI leaderboard's rRAND, higher is
+      better); ``adapted_rand_error`` = 1 - V^Rand;
+    - ``voi_split`` = H(pred | gt) (over-segmentation),
+      ``voi_merge`` = H(gt | pred) (under-segmentation), nats.
+    """
+    gt = np.asarray(gt_flat).ravel().astype(np.int64)
+    pred = np.asarray(pred_flat).ravel().astype(np.int64)
+    m = gt > 0
+    gt, pred = gt[m], pred[m]
+    n = gt.size
+    zero = {"rand_fscore": 0.0, "adapted_rand_error": 1.0,
+            "rand_precision": 0.0, "rand_recall": 0.0,
+            "voi_split": 0.0, "voi_merge": 0.0}
+    if n == 0:
+        return zero
+    # joint contingency via a fused key (labels are small ints)
+    key = gt * (pred.max() + 1) + pred
+    p_ij = np.unique(key, return_counts=True)[1].astype(np.float64) / n
+    a_i = np.unique(gt, return_counts=True)[1].astype(np.float64) / n
+    b_j = np.unique(pred, return_counts=True)[1].astype(np.float64) / n
+    sum_p2 = float(np.sum(p_ij ** 2))
+    sum_a2 = float(np.sum(a_i ** 2))
+    sum_b2 = float(np.sum(b_j ** 2))
+    if sum_p2 == 0.0:
+        return zero
+    precision = sum_p2 / sum_b2
+    recall = sum_p2 / sum_a2
+    f = 2.0 * precision * recall / (precision + recall)
+    h_joint = -float(np.sum(p_ij * np.log(p_ij)))
+    h_gt = -float(np.sum(a_i * np.log(a_i)))
+    h_pred = -float(np.sum(b_j * np.log(b_j)))
+    return {"rand_fscore": f, "adapted_rand_error": 1.0 - f,
+            "rand_precision": precision, "rand_recall": recall,
+            "voi_split": h_joint - h_gt, "voi_merge": h_joint - h_pred}
+
+
 def evaluate_labels(
     pred_labels: np.ndarray,
     gt_labels: np.ndarray,
@@ -268,6 +312,22 @@ def evaluate_labels(
 
     result["confusion_matrix"]["avFscore"] = float(np.mean(fscores)) \
         if fscores else 0.0
+
+    if {"adapted_rand_error", "voi", "rand_fscore"} \
+            & set(add_general_metrics or ()):
+        # align ranks: a channel-stacked side (one instance per channel)
+        # is flattened by max to match the flat side's spatial rank
+        flat_gt, fp_ = np.asarray(gt_labels), pred_labels
+        while flat_gt.ndim > fp_.ndim:
+            flat_gt = flat_gt.max(axis=0)
+        while fp_.ndim > flat_gt.ndim:
+            fp_ = fp_.max(axis=0)
+        if (flat_gt.shape != fp_.shape
+                and flat_gt.shape[1:] == fp_.shape[1:]):
+            # equal rank but different channel counts (e.g. 2-channel gt
+            # stack vs single-channel pred volume): flatten both
+            flat_gt, fp_ = flat_gt.max(axis=0), fp_.max(axis=0)
+        result["general"].update(rand_voi_scores(flat_gt, fp_))
 
     if want_gt_skel:
         flat_pred = (pred_labels if pred_labels.ndim <= 3

@@ -309,3 +309,61 @@ def test_fold_average_threshold_keys_float_noise():
     avS, counts = average_score_over_instances({"s": res}, thresholds=ths)
     assert avS > 0.9
     assert counts["tp"] == [2] * 9
+
+
+def test_rand_voi_perfect_segmentation():
+    from patchperpix_tpu.evaluate import rand_voi_scores
+
+    gt = np.zeros((20, 20), np.int32)
+    gt[2:8, 2:8] = 1
+    gt[12:18, 12:18] = 2
+    res = rand_voi_scores(gt, gt + 5 * (gt > 0))  # relabeling is free
+    assert res["rand_fscore"] == pytest.approx(1.0)
+    assert res["adapted_rand_error"] == pytest.approx(0.0)
+    assert res["voi_split"] == pytest.approx(0.0, abs=1e-12)
+    assert res["voi_merge"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rand_voi_even_split_closed_form():
+    """One gt segment predicted as two equal halves: precision 1,
+    recall 1/2, V^Rand 2/3, ARE 1/3, voi_split ln2, voi_merge 0."""
+    from patchperpix_tpu.evaluate import rand_voi_scores
+
+    gt = np.zeros((10, 8), np.int32)
+    gt[:, :] = 1
+    pred = np.ones_like(gt)
+    pred[5:] = 2
+    res = rand_voi_scores(gt, pred)
+    assert res["rand_precision"] == pytest.approx(1.0)
+    assert res["rand_recall"] == pytest.approx(0.5)
+    assert res["rand_fscore"] == pytest.approx(2 / 3)
+    assert res["adapted_rand_error"] == pytest.approx(1 / 3)
+    assert res["voi_split"] == pytest.approx(np.log(2))
+    assert res["voi_merge"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rand_voi_foreground_restricted():
+    """Predictions on gt==0 pixels are ignored (ISBI convention)."""
+    from patchperpix_tpu.evaluate import rand_voi_scores
+
+    gt = np.zeros((10, 10), np.int32)
+    gt[:5] = 1
+    pred = gt.copy()
+    noisy = pred.copy()
+    noisy[7:, 7:] = 9  # spurious instance entirely in background
+    assert rand_voi_scores(gt, noisy) == rand_voi_scores(gt, pred)
+
+
+def test_rand_voi_through_evaluate_labels():
+    gt = np.zeros((16, 16), np.int32)
+    gt[2:8, 2:8] = 1
+    gt[10:15, 10:15] = 2
+    res = evaluate_labels(
+        gt.copy(), gt, localization_criterion="iou",
+        assignment_strategy="hungarian",
+        add_general_metrics=("avg_gt_skel_coverage", "avg_f1_cov_score",
+                             "adapted_rand_error", "voi"))
+    g = res["general"]
+    assert g["rand_fscore"] == pytest.approx(1.0)
+    assert g["voi_split"] == pytest.approx(0.0, abs=1e-12)
+    assert g["voi_merge"] == pytest.approx(0.0, abs=1e-12)
