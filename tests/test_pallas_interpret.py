@@ -111,6 +111,7 @@ def test_fold2x_interpret_matches_unfolded():
                                atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fold2x_interpret_overlap_variant():
     from patchperpix_tpu.ops.consensus_jax import rank_scores
     from patchperpix_tpu.ops.pallas_consensus import (
