@@ -356,12 +356,31 @@ def main():
             + t_asm_ref)
         st = sc_t["steady"]
         n_inst_sc = len(np.unique(sc_inst[sc_inst > 0]))
+        # roofline accounting (VERDICT r3 #6): algorithmic FLOPs/bytes of
+        # consensus+rank charged against the measured assemble wall —
+        # achieved rate vs chip peaks, printed next to the Mvox/s
+        from patchperpix_tpu.utils.roofline import (KernelCost,
+                                                    analyze,
+                                                    consensus_cost,
+                                                    rank_cost)
+
+        cc = consensus_cost(sc_fg.shape, PS)
+        rc = rank_cost(sc_fg.shape, PS)
+        roof = analyze(KernelCost(cc.flops + rc.flops,
+                                  cc.hbm_bytes + rc.hbm_bytes, "vpu"),
+                       st["assemble"])
+        print(json.dumps({"roofline_consensus_rank_vs_assemble": roof}),
+              file=sys.stderr)
         print(json.dumps({
             "metric": "flylight-50^3 7^3 TRAINED predict->decode->assemble"
                       f" [self-consistent, {n_inst_sc} instances,"
                       f" {nfg_own} own-fg vox,"
                       f" avg_f1_cov {sc_acc['avg_f1_cov_score']:.3f},"
-                      f" AP@0.5 {sc_acc['AP_0.5_iou_hungarian']:.3f}]",
+                      f" AP@0.5 {sc_acc['AP_0.5_iou_hungarian']:.3f},"
+                      f" assemble {roof['gflops_per_s']:.0f} GF/s"
+                      f" = {roof['pct_of_vpu_peak']:.1f}% VPU"
+                      f" / {roof['pct_of_hbm_peak']:.1f}% HBM"
+                      f" ({roof['bound']}-bound)]",
             "value": round(nvox / st["total"] / 1e6, 4),
             "unit": "Mvox/s",
             "vs_baseline": round(t_base_crop / st["total"], 2)

@@ -73,6 +73,22 @@ def get_offsets(shape, chunksize) -> list[np.ndarray]:
     return [np.array(o) for o in zip(*[g.ravel() for g in grids])]
 
 
+def get_chessboard_offsets(shape, chunksize) -> list[np.ndarray]:
+    """Block offsets with a leading phase index — 8-color 3D / 4-color 2D
+    chessboard (stitch_patch_graph.py:404-422): blocks of equal phase are
+    never grid neighbors, so concurrently-running same-phase blocks touch
+    disjoint halo regions."""
+    chunksize = np.asarray(chunksize)
+    out = []
+    for off in get_offsets(shape, chunksize):
+        mods = (np.asarray(off) // chunksize) % 2
+        phase = 0
+        for m in mods:
+            phase = 2 * phase + int(m)
+        out.append(np.concatenate([[phase], off]))
+    return out
+
+
 def _crop(arr, start, stop, channel_dim=False, pad_value=0):
     """Window copy with constant padding outside the volume."""
     spatial = np.array(arr.shape[1:] if channel_dim else arr.shape)
@@ -252,7 +268,8 @@ def _params_fingerprint(params: VoteInstancesParams, chunksize) -> str:
             "removeIntersection", "skipThinCover", "sample", "seed",
             "max_total_patch_distance_in_ps_multiples", "score_threshold")
     sig = repr([(k, getattr(params, k, None)) for k in keys]
-               + [tuple(int(c) for c in np.asarray(chunksize))])
+               + [tuple(int(c) for c in np.asarray(chunksize)),
+                  "window_v2"])  # canonical fixed-shape block windows
     return hashlib.sha1(sig.encode()).hexdigest()[:10]
 
 
@@ -353,9 +370,14 @@ def compute_blocks(
                         for a, b in zip(g_start, g_stop))].any():
             _save_block(store, key, None, None)
             return key, None
-        # halo = patch radius so border patches see their full context
+        # halo = patch radius so border patches see their full context.
+        # The window is ALWAYS chunksize + 2*rad — ragged last blocks pad
+        # with real volume data (or the readers' zero-pad past the edge)
+        # instead of shrinking, so every block compiles ONE program per
+        # stage (each distinct shape costs a full jit of the consensus/
+        # rank/graph kernels; data-dependent shapes compiled per block)
         w_start = g_start - rad
-        w_stop = g_stop + rad
+        w_stop = g_start + chunksize + rad
         affs_b = reader.read_window(w_start, w_stop)
         fg_b = _crop(fg, w_start, w_stop)
         mask_b = _crop(mask_to_cover, w_start, w_stop)
@@ -390,6 +412,22 @@ def compute_blocks(
 
     todo = [off for off in offsets
             if tuple(int(o) for o in off) not in block_results]
+
+    if getattr(params, "chessboard", False) and len(todo) > 1:
+        # phase-ordered scheduling (stitch_patch_graph.py:404-422): sort
+        # blocks by chessboard color so concurrent workers (threads /
+        # devices) drain same-phase — never grid-adjacent — blocks first
+        cs = np.asarray(chunksize)
+
+        def _phase(off):
+            mods = (np.asarray(off) // cs) % 2
+            p = 0
+            for m in mods:
+                p = 2 * p + int(m)
+            return p
+
+        todo = sorted(todo, key=lambda o: (_phase(o),)
+                      + tuple(int(x) for x in o))
 
     devices = None
     if block_devices and block_devices != 1:
@@ -478,12 +516,18 @@ def blockwise_vote_instances_zarr(
     params: VoteInstancesParams,
     chunksize=(92, 92, 92),
     result_folder: str | None = None,
+    decoder=None,
 ):
     """Out-of-core blockwise assembly streaming from the prediction store
     (the CLI `label --blockwise` path; ref stitch_patch_graph.main,
     :672-898).  Only fg/numinst masks (1 byte/voxel) and per-window affinity
     slabs are ever resident; per-block intermediates persist to
-    ``<result_folder>/<base>_blocks/`` for restart-resume."""
+    ``<result_folder>/<base>_blocks/`` for restart-resume.
+
+    With ``decoder`` (an ``infer.decode.CodeDecoder``), the store holds
+    latent codes instead of dense affinities: windows decode on demand via
+    ``CodeAffReader``, so the dense (P, *vol) stack — the reference's
+    host-RAM cliff (decode.py:43) — is never produced at all."""
     from .vote_instances import _derive_fg_numinst
 
     base = os.path.splitext(os.path.basename(aff_file))[0]
@@ -491,7 +535,17 @@ def blockwise_vote_instances_zarr(
              if result_folder else None)
 
     P = int(np.prod(params.patchshape))
-    reader = ZarrAffReader(aff_file, params.aff_key, P)
+    if decoder is not None and not vio.check_file(aff_file,
+                                                  keys=[params.aff_key]):
+        from ..infer.decode import CodeAffReader
+
+        reader = CodeAffReader(
+            aff_file, decoder, code_key=params.code_key,
+            numinst_key=params.numinst_key, fg_key=params.fg_key,
+            fg_thresh=(params.fg_thresh_vi if params.fg_thresh_vi > 0
+                       else 0.5))
+    else:
+        reader = ZarrAffReader(aff_file, params.aff_key, P)
     try:
         numinst, fg = _derive_fg_numinst(
             vio.open_volume(aff_file, mode="r"), params,
@@ -579,18 +633,29 @@ def stitch_blocks(reader, fg, numinst, block_results,
             mid = tuple(((np.asarray(na) + np.asarray(nb)) // 2)
                         // cell)
             groups.setdefault(gkey + mid, []).append((na, nb))
+        # ONE canonical window shape for ALL groups (each distinct shape
+        # jit-compiles the consensus kernels, ~50s for pallas 7^3; the
+        # former data-dependent extents compiled per block-pair group):
+        # the per-axis max over the groups' needs, quantized to 16.  The
+        # need is geometry-bounded by cell + max_d + 4*ps + 1 (a pair's
+        # midpoint lies in its 48-cell, per-axis pair reach is max_d, the
+        # consensus margin is 2*ps each side), so at production scale the
+        # shape saturates at one constant and stays warm across samples.
+        # Readers zero-pad past the volume, which is vote-inert.  Flat
+        # axes (2D-lifted z) keep extent 1.
+        bounds = {}
         for gkey, prs in groups.items():
             coords = np.array([c for pr in prs for c in pr], dtype=np.int64)
-            w_start = np.maximum(coords.min(axis=0) - 2 * ps, 0)
-            w_stop = np.minimum(coords.max(axis=0) + 2 * ps + 1, vol_shape)
-            # quantize the window EXTENT to multiples of 16: every distinct
-            # shape jit-compiles the consensus kernels (~50s for pallas
-            # 7^3), so data-dependent shapes would compile per block-pair
-            # group; readers zero-pad past the volume, which is vote-inert.
-            # Flat axes (2D-lifted z) keep extent 1 - quantizing them
-            # would 16x the per-group consensus work for pure padding.
-            ext = -(-(w_stop - w_start) // 16) * 16
-            ext = np.where(vol_shape == 1, w_stop - w_start, ext)
+            lo = coords.min(axis=0) - 2 * ps
+            hi = coords.max(axis=0) + 2 * ps + 1
+            bounds[gkey] = (lo, hi)
+        need = np.max(np.array([h - l for l, h in bounds.values()]), axis=0)
+        ext = -(-need // 16) * 16
+        ext = np.where(vol_shape == 1, 1, ext)
+        for gkey, prs in groups.items():
+            lo, hi = bounds[gkey]
+            # center the canonical window on the group's bounding box
+            w_start = lo - (ext - (hi - lo)) // 2
             w_stop = w_start + ext
             affs_w = reader.read_window(w_start, w_stop)
             fg_w = _crop(fg, w_start, w_stop)

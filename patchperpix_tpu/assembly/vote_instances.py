@@ -136,12 +136,33 @@ class VoteInstancesParams:
                                # the whole-volume result
     crop_to_foreground: bool = True
     aff_key: str = "volumes/pred_affs"
+    code_key: str = "volumes/pred_code"  # ppp+dec blockwise (code_decoder)
     fg_key: str | None = None
     numinst_key: str | None = None
     numinst_threshs: tuple = (0.9, 0.1)
     res_key: str = "vote_instances"
     result_folder: str = "."
     profile_dir: str | None = None   # jax.profiler trace output for do_all
+    store_scores: bool = False  # write the rank-score volume back into the
+                                # prediction file under
+                                # volumes/<patch_threshold>/scores with
+                                # candidate centers marked +100
+                                # (ranked_patches.py:147-181)
+    shuffle_patches: bool = False  # diagnostic: random-shuffle the ranked
+                                   # patch list after scoring
+                                   # (ranked_patches.py:199-210)
+    save_mip: bool = False  # colored max-projection PNG(s) of the result
+                            # next to the hdf (stitch_patch_graph.py:823-845)
+    dilate_instances: bool = False  # write 1-iteration binary-dilated
+                                    # variants <res_key>_dil_1 /
+                                    # _masked_dil_1 (stitch_patch_graph.py:
+                                    # 871-895)
+    chessboard: bool = False  # blockwise: phase-ordered block scheduling
+                              # (8-color 3D / 4-color 2D chessboard) so no
+                              # two concurrently-running blocks are grid
+                              # neighbors (stitch_patch_graph.py:404-422)
+    aff_file: str | None = None  # prediction path, set by do_all (needed
+                                 # by store_scores write-back)
     use_score_oracle: bool = False   # rank by GT patch IoU instead of the
                                      # consensus score (ranked_patches.py:
                                      # 120-136; decouples assembly quality
@@ -163,6 +184,11 @@ class VoteInstancesParams:
                                              # border blocks match the
                                              # whole-volume result (jax
                                              # engines only)
+    code_decoder: object | None = None  # infer.decode.CodeDecoder: blockwise
+                                        # assembly decodes pred_code windows
+                                        # on demand instead of reading a
+                                        # dense pred_affs store (out-of-core
+                                        # ppp+dec; SURVEY §3.3)
     seed: int = 0
 
     @classmethod
@@ -577,6 +603,20 @@ def to_instance_seg(
     else:
         ranked = ref.rank_patch_list(all_patches, scores)
 
+    if params.store_scores and params.aff_file:
+        # score-volume write-back (ranked_patches.py:147-181): full score
+        # volume with candidate centers marked +100, under a threshold-
+        # derived key; debug readback is worth the one full D2H here
+        full_scores = (np.asarray(scores_dev, dtype=np.float32)
+                       if scores is None
+                       else np.asarray(scores, dtype=np.float32))
+        _write_scores_volume(params, full_scores, all_patches, rad)
+    if params.shuffle_patches:
+        # diagnostic mode (ranked_patches.py:199-210): destroy the rank
+        # order to measure how much the consensus ranking buys
+        rng_sh = np.random.RandomState(params.seed)
+        ranked = [ranked[i] for i in rng_sh.permutation(len(ranked))]
+
     _t_stage = time.perf_counter()
 
     # patch-pixel subsampling (get_patch_sets.py:32-54 ``sample < 1``):
@@ -706,6 +746,31 @@ def to_instance_seg(
     return _maybe_unpad(instances, foreground, rad, params)
 
 
+def _write_scores_volume(params: VoteInstancesParams, scores: np.ndarray,
+                         all_patches, rad):
+    """Rank-score write-back into the prediction store
+    (ranked_patches.py:147-181): candidate centers marked +100, key
+    ``volumes/<patch_threshold>/scores`` (dots -> underscores), cropped by
+    the patch radius when the volume was pad_with_ps-padded."""
+    marked = np.array(scores, dtype=np.float32, copy=True)
+    for c in all_patches:
+        marked[tuple(int(x) for x in c)] += 100.0
+    if params.pad_with_ps:
+        sl = tuple(slice(int(r), int(s - r))
+                   for r, s in zip(rad, marked.shape))
+        marked = marked[sl]
+    thresh_key = str(round(float(params.patch_threshold), 2)) \
+        .replace(".", "_")
+    key = f"volumes/{thresh_key}/scores"
+    out = vio.open_volume(params.aff_file, mode="r+")
+    marked = np.squeeze(marked)
+    out.create(key, marked.shape, np.float32,
+               chunks=[max(1, s // 2) for s in marked.shape])
+    out.write(marked, key=key)
+    out.close()
+    logger.info("stored scores volume at %s:%s", params.aff_file, key)
+
+
 def _maybe_unpad(instances, foreground, rad, params):
     if params.pad_with_ps:
         sl = tuple(slice(int(r), int(s - r))
@@ -815,6 +880,10 @@ def do_all(aff_file: str, params: VoteInstancesParams,
 
 def _do_all_inner(aff_file: str, params: VoteInstancesParams,
                   result_folder: str) -> str:
+    if params.aff_file != aff_file:
+        from dataclasses import replace
+
+        params = replace(params, aff_file=aff_file)
 
     if params.use_score_oracle and params.oracle_scores is None:
         # load the GT patch-IoU volume written by evaluate_prediction
@@ -838,7 +907,7 @@ def _do_all_inner(aff_file: str, params: VoteInstancesParams,
 
         instances, fg_out = blockwise_vote_instances_zarr(
             aff_file, params, chunksize=params.chunksize,
-            result_folder=result_folder)
+            result_folder=result_folder, decoder=params.code_decoder)
     else:
         affs, numinst, foreground = load_affinities(aff_file, params)
         mask = foreground.copy()
@@ -895,12 +964,22 @@ def finalize_and_write(instances, fg_out, params: VoteInstancesParams,
                        base: str, result_folder: str,
                        extra_keys: dict | None = None) -> str:
     """Small-component removal, fg crop, and hdf output
-    (vote_instances.py:521-554); shared by do_all and the fused CLI path."""
+    (vote_instances.py:521-554 + the stitch post outputs,
+    stitch_patch_graph.py:823-895); shared by do_all and the fused CLI
+    path."""
     instances = np.asarray(instances)
     fg_out = np.asarray(fg_out)
+    if params.save_mip:
+        # pre-cleanup MIP (stitch_patch_graph.py:823-829)
+        _save_label_mip(instances,
+                        os.path.join(result_folder, base + ".png"))
     if params.remove_small_comps > 0:
         instances = remove_small_components(instances,
                                             params.remove_small_comps)
+        if params.save_mip:
+            # post-cleanup MIP (stitch_patch_graph.py:839-845)
+            _save_label_mip(instances, os.path.join(
+                result_folder, base + "_cleaned.png"))
     if params.crop_to_foreground:
         if params.one_instance_per_channel or params.no_overlap_per_channel:
             instances[:, fg_out == 0] = 0
@@ -916,7 +995,47 @@ def finalize_and_write(instances, fg_out, params: VoteInstancesParams,
               attrs={"offset": (0, 0, 0), "resolution": (1, 1, 1)})
     out.write(fg_out.astype(np.uint8), key="vote_foreground",
               attrs={"offset": (0, 0, 0), "resolution": (1, 1, 1)})
+    # fg-masked copy (stitch_patch_graph.py:860-866); identical to res_key
+    # when crop_to_foreground already zeroed outside fg
+    masked = instances.copy()
+    if params.one_instance_per_channel or params.no_overlap_per_channel:
+        masked[:, fg_out == 0] = 0
+    else:
+        masked[fg_out == 0] = 0
+    out.write(masked, key="vote_instances_masked")
+    if params.dilate_instances:
+        # per-label 1-iteration binary dilation (stitch_patch_graph.py:
+        # 871-895); later (higher) labels win contested dilated voxels,
+        # matching the reference's ascending-label overwrite loop
+        from scipy import ndimage
+
+        instdil = instances.copy()
+        for lbl in np.unique(instances):
+            if lbl == 0:
+                continue
+            grown = ndimage.binary_dilation(instdil == lbl, iterations=1)
+            instdil[grown] = lbl
+        out.write(instdil, key=params.res_key + "_dil_1")
+        mdil = instdil.copy()
+        if params.one_instance_per_channel or params.no_overlap_per_channel:
+            mdil[:, fg_out == 0] = 0
+        else:
+            mdil[fg_out == 0] = 0
+        out.write(mdil, key=params.res_key + "_masked_dil_1")
     for k, v in (extra_keys or {}).items():
         out.write(np.asarray(v), key=k)
     out.close()
     return out_path
+
+
+def _save_label_mip(instances: np.ndarray, out_file: str):
+    """Colored label MIP PNG (stitch_patch_graph.py:824-829 ``color(
+    np.max(instances, axis=0))``)."""
+    from PIL import Image
+
+    from ..utils.postprocess import color_labels
+
+    mip = np.asarray(instances)
+    while mip.ndim > 2:
+        mip = mip.max(axis=0)
+    Image.fromarray(color_labels(mip.astype(np.int64))).save(out_file)

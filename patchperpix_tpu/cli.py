@@ -513,6 +513,20 @@ def label(args, config, paths, mode=None, checkpoint=None,
         vi_cfg.update(param_overrides)
     params = VoteInstancesParams.from_config(vi_cfg,
                                              result_folder=out_dir)
+    if params.blockwise and config["model"].get("train_code", False):
+        # ppp+dec blockwise: decode code windows on demand inside assembly
+        # for predictions with no dense pred_affs store (out-of-core; the
+        # decode stage / its 50-100 GB dense volume are skipped entirely).
+        # Files that DO carry pred_affs still stream from the dense store
+        # (blockwise_vote_instances_zarr prefers it per file).
+        from .infer.decode import CodeDecoder
+
+        model, mcfg = _build_model(config)
+        mparams = _load_params(model, mcfg, paths, checkpoint, config)
+        params.code_decoder = CodeDecoder(
+            model, mparams, mcfg,
+            batch_size=config.get("model", {}).get(
+                "decode_batch_size", 1024))
     todo = []
     # zarr + hdf prediction inputs (ref also labels hdf predictions,
     # utilVoteInstances.py:136-170)

@@ -323,3 +323,28 @@ def test_label_hdf_prediction_input(trained, config_file, exp_root):
     outv = io.read(key="vote_instances")
     io.close()
     assert outv.max() >= 1
+
+
+def test_cross_validate(trained, config_file, exp_root):
+    """2-fold cross validation end-to-end (run_ppp.py:1674-1971): fold
+    swap, per-fold grid files, applied scores, instance-weighted average."""
+    paths = cli.main(["--config", config_file, "--root", exp_root,
+                      "-id", "testrun",
+                      "--set", "evaluation.average_over_instances=true",
+                      "-d", "cross_validate"])
+    with open(os.path.join(paths["base"], "cross_val_results.json")) as f:
+        res = json.load(f)
+    for k in ("val_data->test_data", "test_data->val_data"):
+        assert k in res, res.keys()
+        assert res[k]["best"]["checkpoint"] == 120
+        assert isinstance(res[k]["applied_score"], float)
+        assert "applied_score_over_instances" in res[k]
+    assert res["mean_score"] is not None
+    assert "instance_weighted" in res
+    # fold-qualified grid-score files: selection really ran on BOTH folds
+    # (second fold must not overwrite the first fold's grid)
+    for fold in ("val", "test"):
+        with open(os.path.join(paths["base"],
+                               f"results_{fold}.json")) as f:
+            grid = json.load(f)
+        assert grid["best"] is not None

@@ -133,3 +133,29 @@ def test_fold2x_interpret_overlap_variant():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(scores), want_scores,
                                atol=1e-3, rtol=1e-4)
+
+
+def test_fold2x_interpret_overlap_small():
+    """Default-tier fold2x + overlapping_inst coverage (ADVICE r3): the
+    full-size variant above is slow-tier; this shrunken volume keeps the
+    3D fold kernel's overlap path exercised in every run."""
+    from patchperpix_tpu.ops.consensus_jax import rank_scores
+    from patchperpix_tpu.ops.pallas_consensus import (
+        consensus_and_rank_pallas_fold2x, fold2x_geometry)
+
+    affs = _random_affs((12, 6, 8), 27, seed=11)
+    ov = np.zeros((12, 6, 8), bool)
+    ov[3:6, 2:4, 2:5] = True
+    cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
+    geom = fold2x_geometry(cfg, (12, 6, 8))
+    assert geom is not None
+    want_cons = np.asarray(consensus_array_pallas(affs, cfg, overlap=ov,
+                                                  interpret=True))
+    want_scores = np.asarray(rank_scores(
+        affs, consensus_array(affs, cfg, overlap=ov), cfg, overlap=ov))
+    cons, scores = consensus_and_rank_pallas_fold2x(
+        affs, cfg, geom, overlap=ov, interpret=True)
+    np.testing.assert_allclose(np.asarray(cons), want_cons,
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), want_scores,
+                               atol=1e-3, rtol=1e-4)

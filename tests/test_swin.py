@@ -96,3 +96,23 @@ def test_ppp_model_invalid_network_style_raises():
     with pytest.raises(ValueError, match="network style"):
         PPPModel(cfg).init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 1, 20, 20, 20)))
+
+
+def test_swin_gradients_flow_small():
+    """Default-tier backward-pass coverage of the Swin attention (ADVICE
+    r3): tiny input so the grad compile stays cheap; the full-size
+    variant remains in the slow tier."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 8, 8, 1).astype(np.float32))
+    net = SwinUNETR(feature_size=4, depths=(1,), num_heads=(2,),
+                    window_size=4)
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(net.apply(p, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    attn_grads = [np.abs(np.asarray(v)).max() for k, v in flat
+                  if "WindowAttention" in jax.tree_util.keystr(k)]
+    assert attn_grads and max(attn_grads) > 0
