@@ -458,9 +458,9 @@ def to_instance_seg(
                     pred_affs_dev, ccfg, fold_geom, overlap=overlap_arg,
                     center_valid=cv_arg)
             elif use_pallas:
-                # the pallas kernel emits the SYMMETRIZED consensus
-                # directly (canonical half identical; no separate
-                # symmetrize pass)
+                # the pallas kernel emits the CANONICAL HALF (dz >= 0
+                # planes only — half the pair-loop work); the rank kernel
+                # consumes it directly, the graph stage symmetrizes it
                 cons = consensus_array_pallas(pred_affs_dev, ccfg,
                                               overlap=overlap_arg,
                                               center_valid=cv_arg)
@@ -510,11 +510,11 @@ def to_instance_seg(
         # readback deferred to a candidate-only gather (see below)
         scores, scores_dev = None, folded_scores
     elif use_pallas and not os.environ.get("PPP_DISABLE_PALLAS_RANK"):
-        # pallas rank consumes the symmetrized consensus the pallas
+        # pallas rank consumes the canonical-half consensus the pallas
         # consensus kernel emitted (same grid/banded streaming; replaces
         # the P sequential XLA-scan steps).  PPP_DISABLE_PALLAS_RANK=1
-        # falls back to the XLA-scan rank (symmetrized input is fine:
-        # ranking reads only canonical entries, identical values).
+        # falls back to the XLA-scan rank (the half is embedded into the
+        # canonical full-extent layout the scan rank reads).
         from ..ops.pallas_consensus import rank_scores_pallas
 
         scores, scores_dev = None, rank_scores_pallas(
@@ -536,6 +536,12 @@ def to_instance_seg(
 
             cons = unfold_consensus(S_fold2d, ccfg, vol_shape)
             S_fold2d = None
+        if use_pallas and cons.shape[0] != int(ccfg.neigh[0]):
+            # pallas consensus emitted the canonical half; the XLA-scan
+            # rank reads the full-extent canonical layout
+            from ..ops.consensus_jax import embed_half
+
+            cons = embed_half(cons, ccfg)
         scores, scores_dev = None, rank_scores(pred_affs_dev, cons, ccfg,
                                                overlap=overlap_arg,
                                                center_valid=cv_arg)
@@ -710,8 +716,15 @@ def to_instance_seg(
 
     if use_jax:
         with _stage_trace("patch_graph"):
-            sym = (cons if (use_pallas or use_pallas2d)
-                   else symmetrize_consensus(cons, ccfg))
+            if use_pallas2d:
+                sym = cons          # 2D path already emits the full sym
+            elif cons.shape[0] != int(ccfg.neigh[0]):
+                # pallas canonical half -> full symmetric (cheap shifts)
+                from ..ops.consensus_jax import symmetrize_half
+
+                sym = symmetrize_half(cons, ccfg)
+            else:
+                sym = symmetrize_consensus(cons, ccfg)
             weights = np.asarray(patch_graph_weights(
                 pred_affs_dev, sym, pairs, ccfg, seed=params.seed,
                 drop_intersection=params.removeIntersection))

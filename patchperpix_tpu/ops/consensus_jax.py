@@ -373,6 +373,30 @@ def symmetrize_consensus(cons: jnp.ndarray, cfg: ConsensusConfig) -> jnp.ndarray
     return flat.reshape(cons.shape)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def symmetrize_half(cons_half: jnp.ndarray,
+                    cfg: ConsensusConfig) -> jnp.ndarray:
+    """Canonical-half consensus (psz, ndy, ndx, *vol) — what
+    consensus_array_pallas emits — to the full symmetrized array
+    (ndz, ndy, ndx, *vol).
+
+    Embeds the half into the full neighborhood extent (lex-negative
+    planes zero, exactly the layout consensus_array produces) and applies
+    the shift identity S[-d][x+d] = S[d][x]."""
+    return symmetrize_consensus(embed_half(cons_half, cfg), cfg)
+
+
+def embed_half(cons_half: jnp.ndarray, cfg: ConsensusConfig) -> jnp.ndarray:
+    """Canonical-half consensus -> full-extent canonical array (lex-negative
+    planes zero) — the exact layout ``consensus_array`` produces, so any
+    canonical consumer (e.g. the XLA-scan rank) can take it directly."""
+    psz = int(cfg.ps[0])
+    ndim = len(cfg.ps)
+    assert cons_half.shape[0] == psz and cons_half.ndim == ndim * 2
+    zeros = jnp.zeros((psz - 1,) + cons_half.shape[1:], cons_half.dtype)
+    return jnp.concatenate([zeros, cons_half], axis=0)
+
+
 def _graph_gather_tables(cfg: ConsensusConfig):
     """Static index tables for the per-pair consensus contraction."""
     ps = cfg.ps

@@ -101,16 +101,23 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
     else:
         cons_s, cnt_s = refs
     psz, psy, psx = ps
-    dz = pl.program_id(1)
+    # canonical half: the dz grid axis spans only dz >= 0 (lex-positive
+    # displacements); pid(1) IS the displacement.  The lex-negative half
+    # is recovered by the cheap shift identity S[-d][x+d] = S[d][x]
+    # (consensus_jax.symmetrize_half) exactly like the XLA scan path —
+    # halving the pair-loop VPU work vs the brute-force both-orientation
+    # kernel (ordered pair count P^2 -> P^2/2).
+    dzo = pl.program_id(1)
     qz = pl.program_id(2)
-    qz2 = qz + dz - (psz - 1)
+    qz2 = qz + dzo
+    dz0 = dzo == 0
 
     @pl.when(qz == 0)
     def _init():
         cons_s[...] = jnp.zeros_like(cons_s)
         cnt_s[...] = jnp.zeros_like(cnt_s)
 
-    valid_z = (qz2 >= 0) & (qz2 < psz)
+    valid_z = qz2 < psz
 
     @pl.when(valid_z)
     def _compute():
@@ -160,10 +167,19 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
                 acc_c, acc_n = jax.lax.fori_loop(qy_lo, qy_hi, qy_body,
                                                  (acc0, acc0))
                 if dx == 0:
-                    # q2 == q exactly when also qz2 == qz and dy == 0:
-                    # self-pairs are excluded (whole cell masks out)
+                    # d == 0 (dz0 & dy == 0 here) means q2 == q for every
+                    # pair: all self-pairs, excluded (whole cell masks out)
                     spm = jnp.logical_not(
-                        (qz2 == qz) & (dy == 0)).astype(jnp.float32)
+                        dz0 & (dy == 0)).astype(jnp.float32)
+                    acc_c = acc_c * spm
+                    if need_cnt:
+                        acc_n = acc_n * spm
+                elif dx < 0:
+                    # canonical gate: at dz == 0, dy == 0, only dx > 0 is
+                    # lex-positive (the dy > 0 part is handled by the loop
+                    # lower bound below)
+                    spm = jnp.logical_not(
+                        dz0 & (dy == 0)).astype(jnp.float32)
                     acc_c = acc_c * spm
                     if need_cnt:
                         acc_n = acc_n * spm
@@ -172,7 +188,9 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
                     cnt_s[dyi, k] += acc_n
             return ()
 
-        jax.lax.fori_loop(0, 2 * psy - 1, dy_body, ())
+        # canonical gate: at dz == 0 only dy >= 0 displacements
+        dy_lo = jnp.where(dz0, psy - 1, 0)
+        jax.lax.fori_loop(dy_lo, 2 * psy - 1, dy_body, ())
 
     @pl.when(qz == psz - 1)
     def _finish():
@@ -197,12 +215,16 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
                            interpret: bool = False):
     """Consensus via the Pallas kernel (3D patchshapes).
 
-    Returns the SYMMETRIZED consensus (both pair orientations populated,
-    cons[d][x] == cons[-d][x+d]); the canonical lex-positive half is
-    bit-identical to ``consensus_array``, and ``symmetrize_consensus`` of
-    that equals this output.  Downstream: ranking reads only canonical
-    entries (identical values) and the patch graph consumes the symmetric
-    array directly, so the separate symmetrize pass disappears.
+    Returns the CANONICAL HALF of the consensus: shape
+    ``(psz, ndy, ndx, Z, Y, X)`` holding the planes for dz >= 0, where the
+    dz == 0 plane has only lex-positive (dy, dx) entries populated (the
+    rest are zero).  This equals ``consensus_array(affs, cfg)[psz-1:]``
+    bit-for-bit and costs HALF the pair-loop work of the former
+    both-orientation kernel (every unordered pixel pair is visited once,
+    like fillConsensusArray.cu's po2 > po1 loop).  Consumers:
+    ``rank_scores_pallas`` reads the half directly (rank over canonical
+    displacements is exact — see its docstring); the patch graph takes
+    ``consensus_jax.symmetrize_half`` of it.
     """
     ps = np.asarray(cfg.ps)
     assert len(ps) == 3, "pallas consensus expects 3D (use 1 for flat axes)"
@@ -227,20 +249,20 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
          for t in (a, b, hi, lo)]
     R = [_target_aligned(t, ps, rm) for t in (a, b, hi, lo)]
 
-    grid = (Z, neigh[0], psz)
+    grid = (Z, psz, psz)        # dz axis spans the canonical half (dz >= 0)
 
-    def left_map(z, dz, qz):
+    def left_map(z, dzo, qz):
         return (qz, 0, 0, z, 0, 0)
 
-    def right_map(z, dz, qz):
-        qz2 = jnp.clip(qz + dz - (psz - 1), 0, psz - 1)
-        zsel = z + mz + dz - (psz - 1)
+    def right_map(z, dzo, qz):
+        qz2 = jnp.clip(qz + dzo, 0, psz - 1)
+        zsel = z + mz + dzo
         return (qz2, 0, 0, zsel, 0, 0)
 
-    def out_map(z, dz, qz):
+    def out_map(z, dzo, qz):
         # output written directly in neighborhood-major layout
-        # (ndz, ndy, ndx, Z, Y, X): no post-kernel transpose copies
-        return (dz, 0, 0, z, 0, 0)
+        # (psz, ndy, ndx, Z, Y, X): no post-kernel transpose copies
+        return (dzo, 0, 0, z, 0, 0)
 
     # arrays are (psz, psy, psx, Zm, Ym, Xm); blocks take one z plane of
     # one qz with all (psy, psx) G-planes resident
@@ -260,11 +282,11 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
 
     out_dtype = jnp.bfloat16 if cfg.cons_bf16 else jnp.float32
     out_shape = [jax.ShapeDtypeStruct(
-        (neigh[0], neigh[1], n_dx, Z, Y, X), out_dtype)]
+        (psz, neigh[1], n_dx, Z, Y, X), out_dtype)]
     out_specs = [out_block]
     if with_counts:
         out_shape.append(jax.ShapeDtypeStruct(
-            (neigh[0], neigh[1], n_dx, Z, Y, X), jnp.float32))
+            (psz, neigh[1], n_dx, Z, Y, X), jnp.float32))
         out_specs.append(out_block)
     res = pl.pallas_call(
         kernel,
@@ -289,35 +311,40 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
 # rank kernel
 # ---------------------------------------------------------------------------
 #
-# rankPatches.cu:1-161 semantics via the symmetrized consensus S:
+# rankPatches.cu:1-161 semantics via the CANONICAL-HALF consensus S
+# (what consensus_array_pallas emits):
 #
-#   score[c] = 1/2 * sum_{d != 0} sum_{q in band(d)}
+#   score[c] = sum_{d lex-positive} sum_{q in band(d)}
 #                w(q, q+d)(c) * S[d][c + q - rad]
 #   w(q, r)  = hi_q hi_r - (hi_q lo_r + lo_q hi_r)      (symmetric)
 #
-# The XLA-scan rank (consensus_jax.rank_scores) pays P sequential scan
-# steps each touching a (P, vol) block; here the sum is banded exactly
-# like the consensus kernel (same grid, same operand streaming), the
-# lex-ordered half-sum is recovered by the ordered double-counting of the
-# symmetric S (w symmetric + S_sym[-d][x+d] = S_sym[d][x] => every
-# unordered pair contributes twice with the same value; halve at the end).
-# In target-aligned coordinates x = c + q - rad the masks become window
-# reads of the SAME G stacks the consensus kernel streams: left (margin
-# rad), right (margin rad + ps - 1), plus S spatially padded by rad.
+# The full ordered sum over all d != 0 is exactly TWICE the canonical
+# sum: the term (q, d) and its swap (q+d, -d) carry the same weight (w is
+# symmetric) and the same consensus value (S[-d][x+d] = S[d][x]), so
+# restricting to lex-positive d and NOT halving reproduces
+# consensus_jax.rank_scores bit-for-bit at half the pair-loop work and
+# half the S streaming (only the dz >= 0 planes exist).
+# The XLA-scan rank pays P sequential scan steps each touching a
+# (P, vol) block; here the sum is banded exactly like the consensus
+# kernel (same grid, same operand streaming).  In target-aligned
+# coordinates x = c + q - rad the masks become window reads of the SAME
+# G stacks the consensus kernel streams: left (margin rad), right
+# (margin rad + ps - 1), plus S spatially padded by rad.
 
 
 def _rank_kernel(hi_l, lo_l, hi_r, lo_r, s_pad, score_ref, score_s,
-                 *, ps, th, n_dz, n_dx, Y, X, int_counter):
+                 *, ps, th, n_dx, Y, X, int_counter):
     psz, psy, psx = ps
-    dz = pl.program_id(1)
+    dzo = pl.program_id(1)      # canonical displacement dz >= 0
     qz = pl.program_id(2)
-    qz2 = qz + dz - (psz - 1)
+    qz2 = qz + dzo
+    dz0 = dzo == 0
 
-    @pl.when((dz == 0) & (qz == 0))
+    @pl.when((dzo == 0) & (qz == 0))
     def _init():
         score_s[...] = jnp.zeros_like(score_s)
 
-    valid_z = (qz2 >= 0) & (qz2 < psz)
+    valid_z = qz2 < psz
 
     @pl.when(valid_z)
     def _compute():
@@ -360,33 +387,38 @@ def _rank_kernel(hi_l, lo_l, hi_r, lo_r, s_pad, score_ref, score_s,
 
                 acc = jax.lax.fori_loop(
                     qy_lo, qy_hi, qy_body, jnp.zeros((Y, X), jnp.float32))
-                if dx == 0:
-                    # d == 0 <=> r == q: self-pairs excluded (q != r)
+                if dx <= 0:
+                    # dx == 0: d == 0 <=> r == q, self-pairs excluded;
+                    # dx < 0: lex-negative at dz == 0, dy == 0 (canonical
+                    # gate; dy < 0 is handled by the loop lower bound)
                     spm = jnp.logical_not(
-                        (qz2 == qz) & (dy == 0)).astype(jnp.float32)
+                        dz0 & (dy == 0)).astype(jnp.float32)
                     acc = acc * spm
                 score_s[...] += acc
             return ()
 
-        jax.lax.fori_loop(0, 2 * psy - 1, dy_body, ())
+        # canonical gate: at dz == 0 only dy >= 0 displacements
+        dy_lo = jnp.where(dz0, psy - 1, 0)
+        jax.lax.fori_loop(dy_lo, 2 * psy - 1, dy_body, ())
 
-    @pl.when((dz == n_dz - 1) & (qz == psz - 1))
+    @pl.when((dzo == psz - 1) & (qz == psz - 1))
     def _finish():
-        # ordered double-count over the symmetric S: halve
-        score_ref[0, ...] = 0.5 * score_s[...]
+        # canonical half-sum == the full ordered sum halved: no factor
+        score_ref[0, ...] = score_s[...]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def rank_scores_pallas(affs: jnp.ndarray, cons_sym: jnp.ndarray,
+def rank_scores_pallas(affs: jnp.ndarray, cons_half: jnp.ndarray,
                        cfg: ConsensusConfig,
                        overlap: jnp.ndarray | None = None,
                        center_valid: jnp.ndarray | None = None,
                        interpret: bool = False) -> jnp.ndarray:
     """Per-voxel patch agreement score via the Pallas kernel.
 
-    ``cons_sym`` must be the SYMMETRIZED consensus in neighborhood-major
-    layout (ndz, ndy, ndx, Z, Y, X) — exactly what consensus_array_pallas
-    returns.  Matches consensus_jax.rank_scores (same sentinels/gating)."""
+    ``cons_half`` must be the CANONICAL-HALF consensus in
+    neighborhood-major layout (psz, ndy, ndx, Z, Y, X) — exactly what
+    consensus_array_pallas returns.  Matches consensus_jax.rank_scores
+    (same sentinels/gating)."""
     ps = np.asarray(cfg.ps)
     assert len(ps) == 3, "pallas rank expects 3D patchshapes"
     psz, psy, psx = (int(p) for p in ps)
@@ -395,6 +427,8 @@ def rank_scores_pallas(affs: jnp.ndarray, cons_sym: jnp.ndarray,
     neigh = tuple(int(n) for n in cfg.neigh)
     n_dz, n_dy, n_dx = neigh
     assert n_dx <= _MAX_NDX_UNROLL, "dx unroll budget exceeded"
+    assert cons_half.shape[0] == psz, \
+        "rank_scores_pallas expects the canonical-half consensus"
 
     hi, lo, tgt = _masks(affs, cfg, overlap, center_valid)
 
@@ -402,22 +436,22 @@ def rank_scores_pallas(affs: jnp.ndarray, cons_sym: jnp.ndarray,
     radt = tuple(int(r) for r in rad)
     L = [_target_aligned(t, ps, radt) for t in (hi, lo)]
     R = [_target_aligned(t, ps, rm) for t in (hi, lo)]
-    s_pad = jnp.pad(cons_sym,
+    s_pad = jnp.pad(cons_half,
                     [(0, 0)] * 3 + [(r, r) for r in radt])
 
-    grid = (Z, n_dz, psz)
+    grid = (Z, psz, psz)        # dz axis spans the canonical half (dz >= 0)
 
-    def left_map(z, dz, qz):
+    def left_map(z, dzo, qz):
         return (qz, 0, 0, z + qz, 0, 0)
 
-    def right_map(z, dz, qz):
-        rz = jnp.clip(qz + dz - (psz - 1), 0, psz - 1)
-        return (rz, 0, 0, z + qz + dz, 0, 0)
+    def right_map(z, dzo, qz):
+        rz = jnp.clip(qz + dzo, 0, psz - 1)
+        return (rz, 0, 0, z + qz + dzo + (psz - 1), 0, 0)
 
-    def s_map(z, dz, qz):
-        return (dz, 0, 0, z + qz, 0, 0)
+    def s_map(z, dzo, qz):
+        return (dzo, 0, 0, z + qz, 0, 0)
 
-    def out_map(z, dz, qz):
+    def out_map(z, dzo, qz):
         return (z, 0, 0)
 
     mz, my, mx = radt
@@ -432,7 +466,7 @@ def rank_scores_pallas(affs: jnp.ndarray, cons_sym: jnp.ndarray,
 
     kernel = functools.partial(
         _rank_kernel, ps=(psz, psy, psx), th=float(cfg.patch_threshold),
-        n_dz=n_dz, n_dx=n_dx, Y=Y, X=X,
+        n_dx=n_dx, Y=Y, X=X,
         int_counter=bool(cfg.rank_int_counter))
 
     acc = pl.pallas_call(
@@ -507,7 +541,8 @@ def consensus_and_rank_pallas_fold2x(
         interpret: bool = False):
     """Consensus + rank via the Pallas kernels on the 2x-folded volume.
 
-    Returns (cons_sym, scores) on the ORIGINAL volume, numerically equal
+    Returns (cons_half, scores) on the ORIGINAL volume — cons_half is the
+    canonical-half layout consensus_array_pallas emits — numerically equal
     to consensus_array_pallas + rank_scores_pallas run unfolded (each
     slab sees every contribution its owned half needs; fold/unfold are
     pure slice/concat).

@@ -83,6 +83,10 @@ class Geom2D:
         return 2 * self.p - 1
 
     @property
+    def DZC(self):  # canonical slab-displacement slots (dzr >= 0)
+        return self.DZB + self.DZL
+
+    @property
     def cmL(self):  # left/tgt/S col margin
         return self.rad
 
@@ -261,7 +265,11 @@ def _cons2d_kernel(agl, agrA0, agrA1, agrB0, agrB1, tgl, tgr0, tgr1,
                    out_dtype):
     p, rad, W = g.p, g.rad, g.W
     qg = pl.program_id(2)
-    dzr = pl.program_id(1) + g.DZL
+    # canonical half: the dzb grid axis spans only dzr >= 0 (row
+    # displacement d = V*dzr + dyr >= 0); the lex-negative half is
+    # recovered by the shift identity S[-d][x+d] = S[d][x] at unfold
+    # time — halving the pair-loop VPU work (P^2 -> P^2/2 ordered pairs)
+    dzr = pl.program_id(1)
 
     @pl.when(qg == 0)
     def _init():
@@ -340,14 +348,15 @@ def _cons2d_kernel(agl, agrA0, agrA1, agrB0, agrB1, tgl, tgr0, tgr1,
                         contrib = pp
                     else:
                         contrib = sc
-                    if dx == 0:
-                        # self-pairs (q2 == q <=> d == 0 and dx == 0)
+                    if dx <= 0:
+                        # dx == 0: self-pairs (q2 == q <=> d == 0, dx == 0);
+                        # dx < 0: lex-negative at d == 0 (canonical gate)
                         spm = (d != 0).astype(jnp.float32)
                         contrib = contrib * spm
                     acc_s[k] += contrib
                     if fuse_norm:
                         cnt = hl * hrplr[:, cs] + ll * hr[:, cs]
-                        if dx == 0:
+                        if dx <= 0:
                             cnt = cnt * spm
                         accn_s[k] += cnt
             return _c
@@ -379,10 +388,13 @@ def consensus_fold_pallas_2d(affs: jnp.ndarray, cfg: ConsensusConfig,
                              overlap: jnp.ndarray | None = None,
                              center_valid: jnp.ndarray | None = None,
                              interpret: bool = False):
-    """Symmetrized 2D consensus in FOLD layout
-    (DZB, V, nd, SL, V, W + 2 rad); volume slab s sits at fold slab
-    s + 2, volume col c at fold col c + rad.  ``unfold_consensus``
-    yields the standard (1, nd, nd, 1, H, W) array.
+    """CANONICAL-HALF 2D consensus in FOLD layout
+    (DZC, V, nd, SL, V, W + 2 rad): only the row displacements d >= 0
+    exist (slab plane dzr = d // V, sub-slab dyr = d % V), and the
+    (d == 0) plane holds only dx > 0 columns.  Volume slab s sits at
+    fold slab s + 2, volume col c at fold col c + rad.
+    ``unfold_consensus`` yields the standard symmetrized
+    (1, nd, nd, 1, H, W) array via the shift identity.
 
     The margin z-cells (grid runs over all SL output slabs) write exact
     zeros because the left operand's row pads are sentinel-dead."""
@@ -391,7 +403,7 @@ def consensus_fold_pallas_2d(affs: jnp.ndarray, cfg: ConsensusConfig,
     AGL, AGR, TGL, TGR = _prep_operands(affs, cfg, g, overlap,
                                         center_valid)
 
-    grid = (g.SL, g.DZB, g.QG)
+    grid = (g.SL, g.DZC, g.QG)      # dzb axis spans dzr >= 0 only
     WmL = W + 2 * g.cmL
     WmR = W + 2 * g.cmR
 
@@ -400,14 +412,14 @@ def consensus_fold_pallas_2d(affs: jnp.ndarray, cfg: ConsensusConfig,
 
     def agr_map(gi, k):
         def m(z, dzb, qg):
-            grp = jnp.clip(qg + dzb + g.DZL + gi, 0, g.QG - 1)
-            slab = jnp.clip(z + 1 + dzb + g.DZL + k, 0, g.SR - 1)
+            grp = jnp.clip(qg + dzb + gi, 0, g.QG - 1)
+            slab = jnp.clip(z + 1 + dzb + k, 0, g.SR - 1)
             return (grp, 0, slab, 0, 0)
         return m
 
     def tgr_map(k):
         def m(z, dzb, qg):
-            return (jnp.clip(z + 1 + dzb + g.DZL + k, 0, g.SR - 1), 0, 0)
+            return (jnp.clip(z + 1 + dzb + k, 0, g.SR - 1), 0, 0)
         return m
 
     agl_spec = pl.BlockSpec((V, p, 1, V, WmL), agl_map,
@@ -436,7 +448,7 @@ def consensus_fold_pallas_2d(affs: jnp.ndarray, cfg: ConsensusConfig,
         in_specs=[agl_spec] + agr_specs + [tgl_spec] + tgr_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (g.DZB, V, nd, g.SL, V, W + 2 * g.cmL), out_dtype),
+            (g.DZC, V, nd, g.SL, V, W + 2 * g.cmL), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((V, nd, V, W), jnp.float32),
             pltpu.VMEM((V, nd, V, W), jnp.float32),
@@ -454,34 +466,48 @@ def consensus_fold_pallas_2d(affs: jnp.ndarray, cfg: ConsensusConfig,
 
 def unfold_consensus(S_fold: jnp.ndarray, cfg: ConsensusConfig,
                      vol_shape) -> jnp.ndarray:
-    """Fold layout -> standard symmetrized (1, nd, nd, 1, H, W)."""
+    """Canonical fold layout -> standard symmetrized (1, nd, nd, 1, H, W).
+
+    The canonical planes (d >= 0) come straight out of the fold; the
+    lex-negative half is filled by ``symmetrize_consensus``'s shift
+    identity S[-d][x+d] = S[d][x] (exactly how the XLA path and the 3D
+    pallas path recover it)."""
+    from .consensus_jax import symmetrize_consensus
+
     g = geom2d(cfg, vol_shape)
-    nd, W, rad = g.nd, g.W, g.rad
-    ds = np.arange(nd) - (g.p - 1)
-    dzb_of = np.floor_divide(ds, V) - g.DZL
+    nd, W, rad, p = g.nd, g.W, g.rad, g.p
+    ds = np.arange(p)                              # canonical d >= 0 rows
+    dzb_of = np.floor_divide(ds, V)
     dyr_of = np.mod(ds, V)
     x = S_fold[jnp.asarray(dzb_of), jnp.asarray(dyr_of)]
-    x = x[:, :, 2:2 + g.ZS, :, rad:rad + W]       # (nd, nd, ZS, V, W)
-    x = x.reshape(nd, nd, g.ZS * V, W)[:, :, :g.H]
+    x = x[:, :, 2:2 + g.ZS, :, rad:rad + W]        # (p, nd, ZS, V, W)
+    x = x.reshape(p, nd, g.ZS * V, W)[:, :, :g.H]
+    # embed the canonical rows at d >= 0 (lex-negative rows zero: the
+    # exact layout consensus_array produces), then symmetrize
+    x = jnp.concatenate(
+        [jnp.zeros((p - 1,) + x.shape[1:], x.dtype), x], axis=0)
     # keep the fold dtype: at BBBC010 scale the f32 unfold alone is
     # 3.5 GB and the graph stage consumes bf16 sym exactly (one-hot
     # operands at MXU precision HIGH, same as the 3D pallas path)
-    return x.reshape(1, nd, nd, 1, g.H, W)
+    return symmetrize_consensus(x.reshape(1, nd, nd, 1, g.H, W), cfg)
 
 
 def fold_bytes_f32(cfg: ConsensusConfig, vol_shape) -> int:
     """HBM bytes of the f32 fold-layout consensus for this geometry."""
     g = geom2d(cfg, vol_shape)
-    return g.DZB * V * g.nd * g.SL * V * (g.W + 2 * g.rad) * 4
+    return g.DZC * V * g.nd * g.SL * V * (g.W + 2 * g.rad) * 4
 
 
 # ---------------------------------------------------------------------------
 # rank kernel
 # ---------------------------------------------------------------------------
 #
-# rankPatches.cu semantics via the symmetrized fold consensus S:
-#   score[c] = 1/2 * sum_{d != 0} sum_{q in band(d)}
+# rankPatches.cu semantics via the CANONICAL-HALF fold consensus S:
+#   score[c] = sum_{d lex-positive} sum_{q in band(d)}
 #                 w(q, q+d)(c) * S[d][c + q - rad]
+# (the full ordered sum over all d != 0 is exactly twice the canonical
+# sum — w symmetric, S[-d][x+d] = S[d][x] — so restricting to d >= 0 /
+# dx > 0 at d == 0 and NOT halving is exact at half the work)
 # with w(q, r) = hi_q hi_r - (hi_q lo_r + lo_q hi_r), all masks read at
 # the TARGET positions x = c + q - rad (left) and x + d (right).  The
 # u = q - rad row shift makes every read a rolled multi-slab window; the
@@ -512,7 +538,7 @@ def _rank2d_kernel(agl0, agl1, agl2,
     qg = pl.program_id(1)
     dzb = pl.program_id(2)
     q2x = pl.program_id(3)
-    dzr = dzb + g.DZL
+    dzr = dzb                    # canonical: the dzb axis IS dzr >= 0
     gA = qg + dzr
 
     @pl.when((qg == 0) & (dzb == 0) & (q2x == 0))
@@ -580,8 +606,9 @@ def _rank2d_kernel(agl0, agl1, agl2,
                     contrib = w_hh * pos_v - w_hl * neg_v
                 else:
                     contrib = (w_hh - w_hl) * s_v
-                # self-pairs (q2 == q <=> d == 0 and q2x == qx)
-                spm = ((q2x != qx) | (d != 0)).astype(jnp.float32)
+                # canonical gate: keep d > 0, or d == 0 with dx > 0
+                # (self-pairs q2 == q and lex-negative dx both excluded)
+                spm = ((q2x > qx) | (d != 0)).astype(jnp.float32)
                 score_s[...] += contrib * spm
             return _c
 
@@ -596,8 +623,8 @@ def _rank2d_kernel(agl0, agl1, agl2,
              & (dzb == pl.num_programs(2) - 1)
              & (q2x == pl.num_programs(3) - 1))
     def _finish():
-        # ordered double-count over the symmetric S: halve
-        score_ref[0] = 0.5 * score_s[...]
+        # canonical half-sum == the full ordered sum halved: no factor
+        score_ref[0] = score_s[...]
 
 
 def _prep_rank_operands(affs, cfg, g: Geom2D, overlap, center_valid):
@@ -642,7 +669,7 @@ def _rank2d_call(affs: jnp.ndarray, S_fold: jnp.ndarray,
     AGLt, AGRsk = _prep_rank_operands(affs, cfg, g, overlap,
                                       center_valid)
 
-    grid = (g.ZS, g.QG, g.DZB, p)
+    grid = (g.ZS, g.QG, g.DZC, p)   # dzb axis spans dzr >= 0 only
     WmL = W + 2 * g.cmL
     WmS = W + 2 * g.cmL
     Wsk = AGRsk.shape[-1]
@@ -660,8 +687,8 @@ def _rank2d_call(affs: jnp.ndarray, S_fold: jnp.ndarray,
 
     def agr_map(gi, k):
         def m(z, qg, dzb, q2x):
-            grp = jnp.clip(qg + dzb + g.DZL + gi, 0, g.QG - 1)
-            slab = jnp.clip(z + qg + dzb + g.DZL + g.RB + k, 0, g.SR - 1)
+            grp = jnp.clip(qg + dzb + gi, 0, g.QG - 1)
+            slab = jnp.clip(z + qg + dzb + g.RB + k, 0, g.SR - 1)
             return (grp, q2x, slab, 0, 0)
         return m
 

@@ -1,4 +1,4 @@
-"""Pallas consensus kernel vs the XLA scan formulation."""
+"""Pallas consensus kernel vs the XLA scan formulation (real Mosaic)."""
 
 import numpy as np
 import pytest
@@ -7,7 +7,8 @@ from patchperpix_tpu.assembly import VoteInstancesParams, to_instance_seg
 from patchperpix_tpu.ops import synthetic
 from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
                                                consensus_array,
-                                               symmetrize_consensus)
+                                               symmetrize_consensus,
+                                               symmetrize_half)
 from patchperpix_tpu.ops.pallas_consensus import consensus_array_pallas
 from patchperpix_tpu.utils.postprocess import relabel
 
@@ -26,13 +27,17 @@ def _random_affs(shape, P, seed=0):
     {"weight_mode": "count", "norm_aff": False},
     {"weight_mode": "prob_product"},
 ])
-def test_pallas_equals_symmetrized_xla(kwargs):
+def test_pallas_equals_canonical_xla(kwargs):
     affs = _random_affs((8, 9, 10), 27, seed=1)
     cfg = ConsensusConfig(patchshape=(3, 3, 3), **kwargs)
-    v1 = consensus_array(affs, cfg)
-    sym = np.asarray(symmetrize_consensus(v1, cfg))
-    out = np.asarray(consensus_array_pallas(affs, cfg))
-    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+    psz = int(cfg.ps[0])
+    canon = np.asarray(consensus_array(affs, cfg))
+    half = consensus_array_pallas(affs, cfg)
+    np.testing.assert_allclose(np.asarray(half), canon[psz - 1:],
+                               atol=1e-4, rtol=1e-4)
+    sym = np.asarray(symmetrize_consensus(canon, cfg))
+    np.testing.assert_allclose(np.asarray(symmetrize_half(half, cfg)),
+                               sym, atol=1e-4, rtol=1e-4)
 
 
 def test_pallas_overlap_variant():
@@ -40,10 +45,10 @@ def test_pallas_overlap_variant():
     ov = np.zeros((8, 9, 10), bool)
     ov[3:5, 3:6, 2:5] = True
     cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
-    sym = np.asarray(symmetrize_consensus(
-        consensus_array(affs, cfg, overlap=ov), cfg))
+    psz = int(cfg.ps[0])
+    canon = np.asarray(consensus_array(affs, cfg, overlap=ov))
     out = np.asarray(consensus_array_pallas(affs, cfg, overlap=ov))
-    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(out, canon[psz - 1:], atol=1e-4, rtol=1e-4)
 
 
 def test_pipeline_pallas_engine_matches_jax():
@@ -73,8 +78,8 @@ def test_pallas_rank_equals_xla_on_tpu():
         cfg = ConsensusConfig(patchshape=ps)
         cons = consensus_array(affs, cfg)
         want = np.asarray(rank_scores(affs, cons, cfg))
-        sym = symmetrize_consensus(cons, cfg)
-        got = np.asarray(rank_scores_pallas(affs, sym, cfg))
+        half = consensus_array_pallas(affs, cfg)
+        got = np.asarray(rank_scores_pallas(affs, half, cfg))
         np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-3)
 
 

@@ -4,6 +4,11 @@ The tpu-marked tests in test_pallas_consensus.py exercise the real Mosaic
 compile; this file runs the same parity checks through the Pallas
 interpreter so the kernel's loop/band/self-pair logic is covered in the
 default CPU tier.
+
+Contract under test: ``consensus_array_pallas`` emits the CANONICAL HALF
+(dz >= 0 planes; equals ``consensus_array(...)[psz-1:]``), ``symmetrize_half``
+of it equals the symmetrized XLA consensus, and ``rank_scores_pallas``
+consumes the half directly.
 """
 
 import numpy as np
@@ -11,7 +16,8 @@ import pytest
 
 from patchperpix_tpu.ops.consensus_jax import (ConsensusConfig,
                                                consensus_array,
-                                               symmetrize_consensus)
+                                               symmetrize_consensus,
+                                               symmetrize_half)
 from patchperpix_tpu.ops.pallas_consensus import consensus_array_pallas
 
 
@@ -22,6 +28,18 @@ def _random_affs(shape, P, seed=0):
         np.float32)
 
 
+def _check_half_and_sym(affs, cfg, overlap=None):
+    psz = int(cfg.ps[0])
+    canon = np.asarray(consensus_array(affs, cfg, overlap=overlap))
+    half = consensus_array_pallas(affs, cfg, overlap=overlap,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(half), canon[psz - 1:],
+                               atol=1e-4, rtol=1e-4)
+    sym = np.asarray(symmetrize_consensus(canon, cfg))
+    got_sym = np.asarray(symmetrize_half(half, cfg))
+    np.testing.assert_allclose(got_sym, sym, atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("kwargs", [
     {},
     pytest.param({"weight_mode": "count", "norm_aff": False},
@@ -29,12 +47,10 @@ def _random_affs(shape, P, seed=0):
     pytest.param({"weight_mode": "prob_product"},
                  marks=pytest.mark.slow),
 ])
-def test_pallas_interpret_equals_symmetrized_xla(kwargs):
+def test_pallas_interpret_equals_canonical_xla(kwargs):
     affs = _random_affs((8, 9, 10), 27, seed=1)
     cfg = ConsensusConfig(patchshape=(3, 3, 3), **kwargs)
-    sym = np.asarray(symmetrize_consensus(consensus_array(affs, cfg), cfg))
-    out = np.asarray(consensus_array_pallas(affs, cfg, interpret=True))
-    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+    _check_half_and_sym(affs, cfg)
 
 
 def test_pallas_interpret_overlap_variant():
@@ -42,24 +58,19 @@ def test_pallas_interpret_overlap_variant():
     ov = np.zeros((8, 9, 10), bool)
     ov[3:5, 3:6, 2:5] = True
     cfg = ConsensusConfig(patchshape=(3, 3, 3), overlapping_inst=True)
-    sym = np.asarray(symmetrize_consensus(
-        consensus_array(affs, cfg, overlap=ov), cfg))
-    out = np.asarray(consensus_array_pallas(affs, cfg, overlap=ov,
-                                            interpret=True))
-    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+    _check_half_and_sym(affs, cfg, overlap=ov)
 
 
 def test_pallas_interpret_anisotropic_patch():
-    """ps_y != ps_x exercises asymmetric band bounds."""
+    """ps_y != ps_x exercises asymmetric band bounds (psz == 1 exercises
+    the degenerate canonical dz axis)."""
     affs = _random_affs((7, 11, 9), 15, seed=3)
     cfg = ConsensusConfig(patchshape=(1, 5, 3))
-    sym = np.asarray(symmetrize_consensus(consensus_array(affs, cfg), cfg))
-    out = np.asarray(consensus_array_pallas(affs, cfg, interpret=True))
-    np.testing.assert_allclose(out, sym, atol=1e-4, rtol=1e-4)
+    _check_half_and_sym(affs, cfg)
 
 
 def test_pallas_rank_interpret_equals_xla():
-    """Pallas rank (symmetrized-S half-sum) vs XLA-scan rank_scores."""
+    """Pallas rank (canonical-half sum) vs XLA-scan rank_scores."""
     from patchperpix_tpu.ops.consensus_jax import rank_scores
     from patchperpix_tpu.ops.pallas_consensus import rank_scores_pallas
 
@@ -67,8 +78,8 @@ def test_pallas_rank_interpret_equals_xla():
     cfg = ConsensusConfig(patchshape=(3, 3, 3))
     cons = consensus_array(affs, cfg)
     want = np.asarray(rank_scores(affs, cons, cfg))
-    sym = symmetrize_consensus(cons, cfg)
-    got = np.asarray(rank_scores_pallas(affs, sym, cfg, interpret=True))
+    half = consensus_array_pallas(affs, cfg, interpret=True)
+    got = np.asarray(rank_scores_pallas(affs, half, cfg, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
 
 
@@ -83,8 +94,8 @@ def test_pallas_rank_interpret_overlap_and_int_counter():
                           rank_int_counter=True)
     cons = consensus_array(affs, cfg, overlap=ov)
     want = np.asarray(rank_scores(affs, cons, cfg, overlap=ov))
-    sym = symmetrize_consensus(cons, cfg)
-    got = np.asarray(rank_scores_pallas(affs, sym, cfg, overlap=ov,
+    half = consensus_array_pallas(affs, cfg, overlap=ov, interpret=True)
+    got = np.asarray(rank_scores_pallas(affs, half, cfg, overlap=ov,
                                         interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
 
