@@ -457,6 +457,50 @@ def _pair_count_panel(ps_t: tuple, strides_t: tuple):
 
 
 @functools.lru_cache(maxsize=8)
+def _joint_shear_tables(ps_t: tuple):
+    """Per-axis JOINT shear-sum tables J_k[d, q, u] = [u == d + q].
+
+    Contracting the (neigh…, ps…) window against these reduces the
+    displacement AND position axis of one dimension in a single MXU
+    pass with contraction extent (2ps-1)*ps (e.g. 91 at ps 7) instead
+    of the plain shear's ps (7): the skewed (P, U^d) panel is never
+    materialized when only its hi-contraction (the correlation field)
+    is needed.  Equal to  field = hi @ _dot_shear_panel(pb)  because
+    panel[q, u] = pb[u - q][q] per axis."""
+    ps = np.asarray(ps_t, np.int64)
+    out = []
+    for k in range(len(ps)):
+        pm = int(ps[k])
+        dm = 2 * pm - 1
+        um = 3 * pm - 2
+        t = np.zeros((dm, pm, um), np.float32)
+        d_i, q_i = np.meshgrid(np.arange(dm), np.arange(pm), indexing="ij")
+        t[d_i, q_i, d_i + q_i] = 1.0
+        out.append(t)
+    return tuple(out)
+
+
+def _joint_field(pbh: jnp.ndarray, ps: np.ndarray) -> jnp.ndarray:
+    """hi-weighted window (neigh…, ps…) -> correlation field (U…).
+
+    ``pbh`` must already carry the hi vector (pbh = pb * hi.reshape(ps));
+    the result equals ``hi @ _dot_shear_panel(pb, ps)`` reshaped to the
+    unpadded skewed extent U = 3*ps - 2, at ~4x fewer (and larger) MXU
+    passes: each einsum contracts a (2ps-1)*ps joint axis and drops it,
+    so intermediates shrink instead of growing toward (P, U^d)."""
+    hp = _graph_mxu_precision()
+    J = _joint_shear_tables(tuple(int(p) for p in ps))
+    if len(ps) == 3:
+        t = jnp.einsum("abcdef,adZ->bcefZ", pbh, J[0], precision=hp)
+        t = jnp.einsum("bcefZ,beY->cfZY", t, J[1], precision=hp)
+        return jnp.einsum("cfZY,cfX->ZYX", t, J[2], precision=hp)
+    if len(ps) == 2:
+        t = jnp.einsum("abcd,acY->bdY", pbh, J[0], precision=hp)
+        return jnp.einsum("bdY,bdX->YX", t, J[1], precision=hp)
+    raise NotImplementedError(len(ps))
+
+
+@functools.lru_cache(maxsize=8)
 def _shear_tables(ps_t: tuple):
     """Per-axis one-hot shear tables T_k[p, d, e] = [e == d + p].
 
@@ -678,6 +722,13 @@ def _patch_graph_weights_jit(
     E_sp = tuple(int(5 * p - 4) for p in ps)     # padded (slice-able) extent
     cnt_flat = cnt_panel.reshape(P, -1).astype(jnp.float32)
     hp = _graph_mxu_precision()
+    # count fields for ALL unique patches in one (n_unique, P) @ (P, E^d)
+    # matmul: inside the segment loop this was a 1-row matvec per segment
+    # (>= 8x MXU row waste + one pass per segment); hoisted it is a single
+    # well-shaped matmul.  64 MB at 50^3/7^3 - far below the consensus.
+    CNT = jnp.matmul(HIs.astype(jnp.float32), cnt_flat,
+                     precision=hp).reshape(
+        (n_unique, int(E_sp[0]), -1))
     # band-layout geometry (see _field_band): column strides are suffix
     # products of the extents; h2 windows embed into (ps0, W) bands
     uE = [int(np.prod(E_sp[j + 1:])) for j in range(ndim)]
@@ -693,28 +744,34 @@ def _patch_graph_weights_jit(
             cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
             (n_off,) + blk_sp).astype(jnp.float32).reshape(
                 tuple(int(v) for v in neigh) + blk_sp)
-        if ndim == 3:
-            panel = _dot_shear_panel(pb, ps)                # (P, U^d)
-        else:
-            panel = _skew_panel(pb, ps, neigh).reshape(P, -1)
         hi1 = HIs[i]
 
-        # value side contracts on the unpadded extent, then pads the tiny
+        # value side: the hi-contraction of the skewed panel is computed
+        # directly by the joint shear-sum tables — the (P, U^d) panel is
+        # only materialized when the intersection correction needs it.
+        # The field contracts on the unpadded extent, then pads the tiny
         # FIELD so slice starts dc + 2(ps-1) are in range — identical
         # values (the old padded-panel entries were zero) at ~4x less skew
         # materialization and matmul traffic.  The count table keeps the
         # padded extent (genuine support there, see _pair_count_panel).
         # Fields live in the 2-D band layout (~4x less physical HBM than
         # a tiled (E0, E1, E2) array; see _field_band).
-        field = _field_band(jnp.matmul(hi1, panel, precision=hp),
+        pbh = pb * hi1.reshape(tuple(int(p) for p in ps)).astype(pb.dtype)
+        field = _field_band(_joint_field(pbh, ps).reshape(-1),
                             ps, U_sp, E_sp)
-        cnt_field = jnp.matmul(hi1, cnt_flat, precision=hp).reshape(
-            (int(E_sp[0]), -1))
+        cnt_field = CNT[i]
 
         dcs = centers[partners].astype(jnp.int32) - c1[None]   # (G, ndim)
         hi2 = HIs[partners]                                    # (G, P)
         h2E = _h2_band(hi2, ps, E_sp)                          # (G, ps0, W_E)
         if drop_intersection:
+            # the correction contracts G box-masked hi1 variants against
+            # the window — only here does the skewed (P, U^d) panel pay
+            # for itself (the matmul below has full MXU rows)
+            if ndim == 3:
+                panel = _dot_shear_panel(pb, ps)               # (P, U^d)
+            else:
+                panel = _skew_panel(pb, ps, neigh).reshape(P, -1)
             # per-endpoint intersection boxes:
             # x1 within rad of c2  <=>  |off(p1) - rad - dc| <= rad
             box_a = jnp.all(jnp.abs(offs_j[None] - rad_j - dcs[:, None])
