@@ -348,14 +348,18 @@ def compute_blocks(
     block_results = {} if block_results is None else block_results
 
     use_jax_engine = params.engine in ("jax", "pallas", "xla")
+    # block-device distribution must not recurse into a block; z-sharding
+    # COMPOSES with blockwise (sharded.py halo-exchanges the blockwise
+    # center_valid gate) but is mutually exclusive with per-block device
+    # round-robin — one block per device wins when both are requested
+    block_sharded = (0 if (params.block_devices
+                           and params.block_devices != 1)
+                     else params.sharded_devices)
     block_params = VoteInstancesParams(
         **{**params.__dict__,
            "blockwise": True, "return_intermediates": True,
            "skeletonize_foreground": False,
-           # per-block runs are single-device programs: z-sharding and
-           # block-device distribution must not recurse into a block
-           # (center_valid + sharded asserts in to_instance_seg)
-           "sharded_devices": 0, "block_devices": 0})
+           "sharded_devices": block_sharded, "block_devices": 0})
 
     def run_block(off):
         key = tuple(int(o) for o in off)

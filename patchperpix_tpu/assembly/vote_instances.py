@@ -446,10 +446,9 @@ def to_instance_seg(
 
                 use_pallas = False
                 mesh = make_spatial_mesh(n_sh)
-                assert cv_arg is None, \
-                    "center_valid + sharded not supported together"
                 cons, sharded_scores = sharded_consensus_and_rank(
-                    pred_affs_dev, ccfg, mesh, overlap=overlap_arg)
+                    pred_affs_dev, ccfg, mesh, overlap=overlap_arg,
+                    center_valid=cv_arg)
             elif use_pallas and fold_geom is not None:
                 from ..ops.pallas_consensus import (
                     consensus_and_rank_pallas_fold2x)

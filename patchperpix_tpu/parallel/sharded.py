@@ -74,6 +74,7 @@ def sharded_consensus_and_rank(
     cfg: ConsensusConfig,
     mesh: Mesh,
     overlap: jnp.ndarray | None = None,
+    center_valid: jnp.ndarray | None = None,
     axis: str = "sp",
 ):
     """Whole-volume-exact consensus + rank, z-sharded over the mesh.
@@ -81,6 +82,11 @@ def sharded_consensus_and_rank(
     affs: (P, Z, Y, X) with Z divisible by the mesh size.  Returns
     (consensus (*neigh, Z, Y, X), scores (Z, Y, X)) with the same sharding
     (consensus z axis is the first spatial axis, index ndim of the array).
+
+    ``center_valid`` (global (Z, Y, X) bool) composes an external center
+    gate — e.g. blockwise stitching's global-interior mask — with the
+    shard-boundary gate: the mask is z-sharded and halo-exchanged like
+    the affinities, so a blockwise window can itself run on a mesh.
     """
     ps = cfg.ps
     ndim = len(ps)
@@ -95,15 +101,17 @@ def sharded_consensus_and_rank(
         f"use fewer devices or a larger volume")
 
     has_overlap = overlap is not None
+    has_cv = center_valid is not None
 
-    def worker(affs_blk, ov_blk=None):
+    def worker(affs_blk, *masks):
         # affs_blk: (P, local, Y, X)
         ext = _halo_exchange(affs_blk, halo, axis, spatial_axis=1)
-        # overlap halo only when an overlap mask exists (a dummy exchange
-        # would cost a full-volume transfer + 2 ppermutes per call)
+        # overlap/center_valid halos only when the masks exist (a dummy
+        # exchange would cost a full-volume transfer + 2 ppermutes each)
+        mi = iter(masks)
         ov_ext = None
         if has_overlap:
-            ov_ext = _halo_exchange(ov_blk.astype(jnp.float32), halo,
+            ov_ext = _halo_exchange(next(mi).astype(jnp.float32), halo,
                                     axis, spatial_axis=0) > 0.5
 
         # center validity in GLOBAL coordinates: global interior gating is
@@ -113,13 +121,16 @@ def sharded_consensus_and_rank(
         idxv = jax.lax.axis_index(axis)
         zpos = jnp.arange(ext.shape[1]) - halo + idxv * local
         valid_z = (zpos >= rad) & (zpos < Z - rad)
-        center_valid = jnp.broadcast_to(
-            valid_z[:, None, None], ext.shape[1:])
+        cv = jnp.broadcast_to(valid_z[:, None, None], ext.shape[1:])
+        if has_cv:
+            # compose the external gate (blockwise global-interior mask)
+            cv = cv & (_halo_exchange(next(mi).astype(jnp.float32), halo,
+                                      axis, spatial_axis=0) > 0.5)
 
         cons_ext = consensus_array(ext, cfg, overlap=ov_ext,
-                                   center_valid=center_valid)
+                                   center_valid=cv)
         scores_ext = rank_scores(ext, cons_ext, cfg, overlap=ov_ext,
-                                 center_valid=center_valid)
+                                 center_valid=cv)
         # crop the halo back off (z is axis ndim of cons, axis 0 of scores)
         sl = [slice(None)] * cons_ext.ndim
         sl[ndim] = slice(halo, halo + local)
@@ -133,15 +144,22 @@ def sharded_consensus_and_rank(
         from jax.experimental.shard_map import shard_map
 
     spec_affs = P(None, axis, None, None)
-    spec_ov = P(axis, None, None)
+    spec_mask = P(axis, None, None)
     spec_cons = P(*([None] * ndim), axis, None, None)
     spec_scores = P(axis, None, None)
 
-    in_specs = (spec_affs, spec_ov) if has_overlap else (spec_affs,)
-    kwargs = dict(mesh=mesh, in_specs=in_specs,
+    args = [affs]
+    in_specs = [spec_affs]
+    if has_overlap:
+        args.append(overlap)
+        in_specs.append(spec_mask)
+    if has_cv:
+        args.append(center_valid)
+        in_specs.append(spec_mask)
+    kwargs = dict(mesh=mesh, in_specs=tuple(in_specs),
                   out_specs=(spec_cons, spec_scores))
     try:
         fn = shard_map(worker, check_vma=False, **kwargs)
     except TypeError:  # older jax spelling
         fn = shard_map(worker, check_rep=False, **kwargs)
-    return fn(affs, overlap) if has_overlap else fn(affs)
+    return fn(*args)

@@ -108,3 +108,64 @@ def test_sharded_mesh_size_constraints():
     assert _sharded_mesh_size(p, (10, 7, 8), ccfg) <= 2
     # off
     assert _sharded_mesh_size(VoteInstancesParams(), (24, 7, 8), ccfg) == 1
+
+
+def test_sharded_center_valid_composes():
+    """An external center_valid gate (the blockwise global-interior mask)
+    halo-exchanges like the affinities and composes with the shard gate:
+    result matches the single-device run with the same mask."""
+    mesh = _cpu_mesh(4)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3))
+    affs = _random_affs((16, 6, 7), 27, seed=7)
+    cv = np.zeros((16, 6, 7), dtype=bool)
+    cv[2:13, 1:5, 1:6] = True
+    cv[5:8, :, :] = False           # a hole crossing a shard boundary
+
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    affs_d = jax.device_put(jnp.asarray(affs), cpu0)
+    cv_d = jax.device_put(jnp.asarray(cv), cpu0)
+    cons_ref = np.asarray(consensus_array(affs_d, cfg, center_valid=cv_d))
+    scores_ref = np.asarray(rank_scores(affs_d, jnp.asarray(cons_ref), cfg,
+                                        center_valid=cv_d))
+
+    cons_sh, scores_sh = sharded_consensus_and_rank(
+        jnp.asarray(affs), cfg, mesh, center_valid=jnp.asarray(cv))
+    np.testing.assert_allclose(np.asarray(cons_sh), cons_ref,
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores_sh), scores_ref,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_blockwise_composes_with_sharded_devices():
+    """Blockwise assembly with per-block z-sharding over the mesh (the
+    VERDICT §9 composition): every block window runs sharded (its
+    global-interior center_valid gate rides the halo exchange) and the
+    stitched output matches the unsharded blockwise run."""
+    from patchperpix_tpu.assembly import VoteInstancesParams
+    from patchperpix_tpu.assembly.blockwise import blockwise_vote_instances
+    from patchperpix_tpu.ops import synthetic
+
+    if len(jax.local_devices(backend="cpu")) < 4:
+        pytest.skip("needs 4 cpu devices")
+
+    labels = np.zeros((20, 16, 16), dtype=np.int32)
+    labels[2:9, 2:9, 2:9] = 1
+    labels[11:18, 8:15, 8:15] = 2
+    ps = np.array([3, 3, 3])
+    affs = synthetic.labels_to_affinities(labels, ps)
+    fg = affs[13] > 0.5
+    base = dict(patchshape=(3, 3, 3), engine="jax",
+                removeIntersection=False)
+    ref_out, _ = blockwise_vote_instances(
+        affs, fg, fg.astype(np.uint8), VoteInstancesParams(**base),
+        chunksize=(10, 16, 16))
+    out, _ = blockwise_vote_instances(
+        affs, fg, fg.astype(np.uint8),
+        VoteInstancesParams(sharded_devices=4, **base),
+        chunksize=(10, 16, 16))
+    ref_out[~fg] = 0
+    out[~fg] = 0
+    assert ((ref_out > 0) == (out > 0)).all()
+    for i in np.unique(ref_out[ref_out > 0]):
+        vals = np.unique(out[ref_out == i])
+        assert len(vals) == 1
