@@ -89,8 +89,7 @@ def main():
     # everything (only XLA programs stay cached)
     for name in os.listdir(work):
         fp = os.path.join(work, name)
-        if name.endswith(".hdf") or name.endswith("_blocks") \
-                or "_blocks" in name:
+        if name.endswith(".hdf") or "_blocks" in name:
             (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
     t0 = time.perf_counter()
     out_path = do_all(zpath, params, result_folder=work)

@@ -31,39 +31,68 @@ def keep_single_slice(foreground: np.ndarray) -> np.ndarray:
     return out
 
 
+def _ball(radius: int) -> np.ndarray:
+    """3D ball structuring element (skimage.morphology.ball semantics:
+    z^2+y^2+x^2 <= r^2)."""
+    zz, yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1,
+                          -radius:radius + 1]
+    return (zz * zz + yy * yy + xx * xx) <= radius * radius
+
+
 def filter_instance_boundaries_from_fg(
     pred_affs: np.ndarray,
     foreground: np.ndarray,
     all_patches,
     patchshape,
     mask_to_cover: np.ndarray,
-    boundary_threshold: float = 0.5,
+    boundary_count_factor: float = 0.33,
     patch_threshold: float = 0.5,
 ) -> np.ndarray:
     """Remove likely instance-boundary pixels from the cover mask.
 
-    A fg pixel whose patch predicts background for more than
-    ``boundary_threshold`` of its in-bounds fg neighbors is treated as a
-    boundary pixel (isbi_hacks.py:19-49 semantics).
+    Exact reference semantics (isbi_hacks.py:34-48 ``boundary_count``
+    via get_patch_sets.py ``get_boundary_set``): per in-bounds patch,
+    threshold the patch at ``patch_threshold``, grow it by a radius-2
+    ball dilation, and take the dilation RING (grown minus patch) as
+    that patch's boundary set.  A pixel is dropped from the cover mask
+    when it lies in the ring of at least
+    ``boundary_count_factor * prod(patchshape[1:])`` patches.
     """
+    from scipy.ndimage import binary_dilation
+
     ps = np.asarray(patchshape, dtype=np.int64)
     rad = ps // 2
     offs = patch_offsets(ps)
     vol_shape = np.array(foreground.shape)
-    out = mask_to_cover.astype(bool).copy()
+    centers = np.asarray(list(all_patches), dtype=np.int64).reshape(
+        -1, len(vol_shape))
+    if centers.size:
+        ok = np.all(centers >= rad, axis=1) & np.all(
+            centers + rad + 1 <= vol_shape, axis=1)
+        centers = centers[ok]
+    if not centers.size:
+        return mask_to_cover.astype(bool).copy()
 
-    for idx in all_patches:
-        idx = np.asarray(idx)
-        if np.any(idx < rad) or np.any(idx >= vol_shape - rad):
-            continue
-        patch = pred_affs[(slice(None),) + tuple(idx)]
-        tgt = idx[None, :] + offs - rad[None, :]
-        nb_fg = foreground[tuple(tgt.T)]
-        n_fg = int(nb_fg.sum())
-        if n_fg == 0:
-            continue
-        disagree = int(np.logical_and(nb_fg,
-                                      patch < patch_threshold).sum())
-        if disagree / n_fg > boundary_threshold:
-            out[tuple(idx)] = False
-    return out
+    # all patch windows at once: (N, prod(ps)) -> (N, *ps) binary
+    patches = pred_affs[(slice(None),) + tuple(centers.T)].T
+    patches = (patches > patch_threshold).reshape(
+        (len(centers),) + tuple(ps))
+    # one 4D dilation, no connectivity across the patch axis (the
+    # reference's per-patch skimage binary_dilation with border value 0)
+    struct = _ball(2)[None]
+    grown = binary_dilation(patches, structure=struct)
+    ring = grown & ~patches  # patch_grow - patch
+
+    # boundary_count[pixel] += 1 per patch whose ring contains it
+    # (the reference additionally ANDs with an all-ones foreground,
+    # get_boundary_set's ``foreground`` argument — a no-op)
+    tgt = (centers[:, None, :] + offs[None] - rad[None, None]).reshape(
+        -1, len(vol_shape))
+    boundary_count = np.zeros(foreground.shape, dtype=np.int64)
+    np.add.at(boundary_count, tuple(tgt.T), ring.reshape(-1))
+
+    # foreground_to_cover &= count < 0.33 * prod(ps[1:])
+    # (isbi_hacks.py:45-48)
+    return np.logical_and(
+        mask_to_cover.astype(bool),
+        boundary_count < boundary_count_factor * np.prod(ps[1:]))

@@ -153,6 +153,10 @@ class VoteInstancesParams:
                                    # (ranked_patches.py:199-210)
     save_mip: bool = False  # colored max-projection PNG(s) of the result
                             # next to the hdf (stitch_patch_graph.py:823-845)
+    save_tif: bool = False  # cleaned uint16 label volume as <base>.tif
+                            # next to the hdf (stitch_patch_graph.py:
+                            # 836-841 writes it whenever
+                            # remove_small_comps > 0)
     dilate_instances: bool = False  # write 1-iteration binary-dilated
                                     # variants <res_key>_dil_1 /
                                     # _masked_dil_1 (stitch_patch_graph.py:
@@ -988,6 +992,14 @@ def finalize_and_write(instances, fg_out, params: VoteInstancesParams,
     if params.remove_small_comps > 0:
         instances = remove_small_components(instances,
                                             params.remove_small_comps)
+        if params.save_tif:
+            # relabeled uint16 tif of the cleaned volume
+            # (stitch_patch_graph.py:835-841)
+            from ..utils.io import save_tif
+            from ..utils.postprocess import relabel
+
+            save_tif(os.path.join(result_folder, base + ".tif"),
+                     relabel(instances).astype(np.uint16))
         if params.save_mip:
             # post-cleanup MIP (stitch_patch_graph.py:839-845)
             _save_label_mip(instances, os.path.join(

@@ -726,9 +726,14 @@ def _patch_graph_weights_jit(
     # matmul: inside the segment loop this was a 1-row matvec per segment
     # (>= 8x MXU row waste + one pass per segment); hoisted it is a single
     # well-shaped matmul.  64 MB at 50^3/7^3 - far below the consensus.
-    CNT = jnp.matmul(HIs.astype(jnp.float32), cnt_flat,
-                     precision=hp).reshape(
-        (n_unique, int(E_sp[0]), -1))
+    # The hoist materializes (n_unique, prod(E^d)) f32 (~116 KB/patch at
+    # ps=7), so it is gated on a 2 GiB budget: dense volumes with very
+    # many unique patches fall back to the O(1)-memory per-segment matvec.
+    hoist_cnt = n_unique * int(np.prod(E_sp)) * 4 <= 2 << 30
+    if hoist_cnt:
+        CNT = jnp.matmul(HIs.astype(jnp.float32), cnt_flat,
+                         precision=hp).reshape(
+            (n_unique, int(E_sp[0]), -1))
     # band-layout geometry (see _field_band): column strides are suffix
     # products of the extents; h2 windows embed into (ps0, W) bands
     uE = [int(np.prod(E_sp[j + 1:])) for j in range(ndim)]
@@ -759,7 +764,12 @@ def _patch_graph_weights_jit(
         pbh = pb * hi1.reshape(tuple(int(p) for p in ps)).astype(pb.dtype)
         field = _field_band(_joint_field(pbh, ps).reshape(-1),
                             ps, U_sp, E_sp)
-        cnt_field = CNT[i]
+        if hoist_cnt:
+            cnt_field = CNT[i]
+        else:
+            cnt_field = jnp.matmul(hi1[None].astype(jnp.float32),
+                                   cnt_flat, precision=hp).reshape(
+                (int(E_sp[0]), -1))
 
         dcs = centers[partners].astype(jnp.int32) - c1[None]   # (G, ndim)
         hi2 = HIs[partners]                                    # (G, P)

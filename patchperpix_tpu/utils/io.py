@@ -277,6 +277,39 @@ def check_file(path: str, keys=None, remove_on_error: bool = False) -> bool:
             pass
 
 
+def save_tif(path: str, arr: np.ndarray) -> str:
+    """TIF export (PIL backend) for label/MIP dumps — 2D or multipage 3D
+    (the reference writes cleaned uint16 label volumes as tif via
+    tifffile, stitch_patch_graph.py:836-841, and float32 patch mosaics,
+    visualize/patches.py:196-198)."""
+    from PIL import Image
+
+    arr = np.asarray(arr)
+    arr = np.squeeze(arr)
+    if np.issubdtype(arr.dtype, np.integer) or arr.dtype == bool:
+        arr = arr.astype(np.uint16)
+    else:
+        arr = arr.astype(np.float32)
+    if arr.ndim == 2:
+        Image.fromarray(arr).save(path)
+    elif arr.ndim == 3:
+        frames = [Image.fromarray(arr[z]) for z in range(arr.shape[0])]
+        frames[0].save(path, save_all=True, append_images=frames[1:])
+    else:
+        raise ValueError(f"save_tif: unsupported ndim {arr.ndim}")
+    return path
+
+
+def read_tif(path: str) -> np.ndarray:
+    """Reader for save_tif output (2D single-page or 3D multipage)."""
+    from PIL import Image, ImageSequence
+
+    with Image.open(path) as img:
+        frames = [np.asarray(f.copy()) for f in
+                  ImageSequence.Iterator(img)]
+    return frames[0] if len(frames) == 1 else np.stack(frames)
+
+
 def write_nrrd(path: str, arr: np.ndarray):
     """Minimal NRRD writer (raw encoding) for skeleton exports
     (util/postprocess.py:110-119 uses the external nrrd package, not

@@ -50,11 +50,17 @@ def patch_mosaic(affs: np.ndarray, patchshape, z: int | None = None,
 
 def visualize_patches(affs: np.ndarray, patchshape, out_file: str,
                       z: int | None = None, selected=None) -> str:
-    """Write the mosaic as a PNG."""
-    from PIL import Image
-
+    """Write the mosaic as a PNG, or float32 TIF when ``out_file`` ends
+    in .tif (reference visualize/patches.py:190-198)."""
     mosaic = patch_mosaic(np.asarray(affs, dtype=np.float32), patchshape,
                           z=z, selected=selected)
+    if out_file.endswith(".tif"):
+        from ..utils.io import save_tif
+
+        save_tif(out_file, mosaic.astype(np.float32))
+        return out_file
+    from PIL import Image
+
     img = (np.clip(mosaic, 0, 1) * 255).astype(np.uint8)
     Image.fromarray(img).save(out_file)
     return out_file

@@ -18,7 +18,8 @@ def test_sparsify():
 
 def test_boundary_filter_removes_boundary_pixels():
     ps = np.array([1, 5, 5])
-    # two touching instances: boundary pixels see disagreeing patches
+    # two touching instances: interface pixels fall into the dilation
+    # rings of the other instance's patches
     labels = np.zeros((1, 16, 16), dtype=np.int32)
     labels[0, 3:13, 3:8] = 1
     labels[0, 3:13, 8:13] = 2
@@ -26,12 +27,58 @@ def test_boundary_filter_removes_boundary_pixels():
     fg = affs[12] > 0.5
     all_patches = [tuple(c) for c in np.argwhere(fg)]
     out = filter_instance_boundaries_from_fg(
-        affs, fg, all_patches, ps, fg, boundary_threshold=0.3)
+        affs, fg, all_patches, ps, fg)
     # pixels at the instance interface (x in {7, 8}) get filtered
     assert not out[0, 8, 7] or not out[0, 8, 8]
     # interior pixels survive
     assert out[0, 8, 4]
     assert out.sum() < fg.sum()
+
+
+def _boundary_filter_oracle(pred_affs, foreground, all_patches, ps,
+                            mask_to_cover, pthresh=0.5):
+    """Direct transcription of the reference loop: get_boundary_set
+    (get_patch_sets.py:6-30) + boundary_count thresholding
+    (isbi_hacks.py:40-48)."""
+    from scipy.ndimage import binary_dilation
+
+    from patchperpix_tpu.assembly.isbi_hacks import _ball
+
+    ps = np.asarray(ps)
+    rad = ps // 2
+    count = np.zeros(foreground.shape, dtype=np.int64)
+    for idx in all_patches:
+        idx = np.asarray(idx)
+        start, stop = idx - rad, idx + rad + 1
+        if np.any(start < 0) or np.any(stop > foreground.shape):
+            continue
+        patch = pred_affs[(slice(None),) + tuple(idx)].reshape(tuple(ps))
+        patch = patch > pthresh
+        ring = binary_dilation(patch, structure=_ball(2)) & ~patch
+        for rel in np.argwhere(ring):
+            count[tuple(start + rel)] += 1
+    return np.logical_and(mask_to_cover, count < 0.33 * np.prod(ps[1:]))
+
+
+def test_boundary_filter_matches_reference_oracle():
+    """Vectorized ring counting == the reference's per-patch set loop."""
+    ps = np.array([1, 5, 5])
+    rng = np.random.RandomState(3)
+    labels = np.zeros((1, 20, 20), np.int32)
+    labels[0, 2:18, 2:10] = 1
+    labels[0, 2:18, 10:18] = 2
+    labels[0, 5:8, 14:17] = 0  # a hole -> irregular rings
+    affs = synthetic.labels_to_affinities(labels, ps)
+    # noise so patches disagree near the interface like a real model
+    affs = np.clip(affs + rng.uniform(-0.3, 0.3, affs.shape), 0, 1)
+    fg = labels[0] > 0
+    fg = fg[None]
+    all_patches = [tuple(c) for c in np.argwhere(fg)]
+    got = filter_instance_boundaries_from_fg(
+        affs, fg, all_patches, ps, fg)
+    want = _boundary_filter_oracle(affs, fg, all_patches, ps, fg)
+    assert got.dtype == bool
+    assert np.array_equal(got, want)
 
 
 def test_isbi_hack_wired_into_pipeline():

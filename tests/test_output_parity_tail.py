@@ -103,6 +103,50 @@ def test_masked_mip_dilate_outputs(tmp_path):
     assert img.max() > 0
 
 
+def test_save_tif_label_volume(tmp_path):
+    """stitch_patch_graph.py:836-841: cleaned uint16 relabeled volume as
+    (multipage) tif next to the hdf."""
+    labels, affs, fg = _case_3d()
+    pred = _write_hdf(tmp_path, affs)
+    params = VoteInstancesParams(
+        patchshape=(3, 3, 3), engine="jax", numinst_key=None, fg_key=None,
+        save_tif=True, remove_small_comps=5,
+        crop_to_foreground=False, result_folder=str(tmp_path))
+    out = do_all(pred, params)
+    from patchperpix_tpu.utils.io import read_tif
+
+    tif_path = str(tmp_path / "sample.tif")
+    assert os.path.exists(tif_path)
+    tif = read_tif(tif_path)
+    with h5py.File(out, "r") as f:
+        inst = f["vote_instances"][()]
+    assert tif.shape == inst.shape
+    assert tif.dtype == np.uint16
+    # tif is the relabeled cleaned volume
+    np.testing.assert_array_equal(tif, relabel(inst).astype(np.uint16))
+
+
+def test_save_tif_roundtrip_2d_float():
+    """float32 mosaic tif (visualize/patches.py:196-198 parity)."""
+    import tempfile
+
+    from patchperpix_tpu.utils.io import read_tif, save_tif
+    from patchperpix_tpu.visualize.patches import visualize_patches
+
+    rng = np.random.RandomState(0)
+    arr = rng.rand(9, 6, 6).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.tif")
+        save_tif(p, arr[0])
+        back = read_tif(p)
+        np.testing.assert_array_equal(back, arr[0])
+        # and through the mosaic writer
+        p2 = os.path.join(d, "patches.tif")
+        visualize_patches(arr.reshape(9, 1, 6, 6), (1, 3, 3), p2, z=0)
+        m = read_tif(p2)
+        assert m.dtype == np.float32 and m.ndim == 2
+
+
 def test_chessboard_offsets_phases():
     """stitch_patch_graph.py:404-422: 8 phases in 3D, equal-phase blocks
     never grid-adjacent."""
