@@ -410,6 +410,7 @@ def to_instance_seg(
         cv_arg = np.asarray(params.center_valid, dtype=bool)
         assert cv_arg.shape == tuple(vol_shape)
     sharded_scores = None
+    sharded_mesh = None
     folded_scores = None
     scores_dev = None
     if use_jax:
@@ -449,10 +450,10 @@ def to_instance_seg(
                                         sharded_consensus_and_rank)
 
                 use_pallas = False
-                mesh = make_spatial_mesh(n_sh)
+                sharded_mesh = make_spatial_mesh(n_sh)
                 cons, sharded_scores = sharded_consensus_and_rank(
-                    pred_affs_dev, ccfg, mesh, overlap=overlap_arg,
-                    center_valid=cv_arg)
+                    pred_affs_dev, ccfg, sharded_mesh,
+                    overlap=overlap_arg, center_valid=cv_arg)
             elif use_pallas and fold_geom is not None:
                 from ..ops.pallas_consensus import (
                     consensus_and_rank_pallas_fold2x)
@@ -730,7 +731,8 @@ def to_instance_seg(
                 sym = symmetrize_consensus(cons, ccfg)
             weights = np.asarray(patch_graph_weights(
                 pred_affs_dev, sym, pairs, ccfg, seed=params.seed,
-                drop_intersection=params.removeIntersection))
+                drop_intersection=params.removeIntersection,
+                mesh=sharded_mesh))
     else:
         weights = ref.patch_graph_reference(
             pred_affs, cons_np, pairs, ps, th=params.patch_threshold,

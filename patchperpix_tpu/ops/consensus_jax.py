@@ -849,6 +849,7 @@ def patch_graph_weights(
     seed: int = 0,
     drop_intersection: bool = True,
     group: int = 64,
+    mesh=None,
 ) -> jnp.ndarray:
     """Affinity weight per candidate patch pair (computePatchGraph.cu).
 
@@ -923,9 +924,12 @@ def patch_graph_weights(
             seg_partner.append(np.pad(partners, (0, pad)))
             seg_valid.append(np.pad(np.ones(len(chunk), bool), (0, pad)))
             seg_out.append(np.pad(chunk, (0, pad)))
-    # pad segment count to a multiple of 8 to bound recompiles
+    # pad segment count to a multiple of 8 to bound recompiles (and, on a
+    # mesh, to a multiple of 8 * n_devices so segments split evenly)
+    n_dev = int(mesh.shape[mesh.axis_names[0]]) if mesh is not None else 1
+    mult = 8 * max(1, n_dev)
     n_seg = len(seg_first)
-    n_seg_pad = -(-n_seg // 8) * 8
+    n_seg_pad = -(-n_seg // mult) * mult
     for _ in range(n_seg_pad - n_seg):
         seg_first.append(0)
         seg_partner.append(np.zeros(group, np.int64))
@@ -935,13 +939,52 @@ def patch_graph_weights(
     vol_shape = np.asarray(affs.shape[1:])
     strides = tuple(int(np.prod(vol_shape[i + 1:])) for i in range(ndim))
     cnt_panel = _pair_count_panel(tuple(int(p) for p in ps), strides)
-    w = _patch_graph_weights_jit(
-        affs, cons_sym, jnp.asarray(centers, jnp.int32),
-        jnp.asarray(np.asarray(seg_first), jnp.int32),
-        jnp.asarray(np.stack(seg_partner), jnp.int32),
-        jnp.asarray(np.stack(seg_valid)), cnt_panel,
-        cfg, n_unique=len(centers), group=group,
-        seed=seed, drop_intersection=drop_intersection)
+    jit_args = (jnp.asarray(centers, jnp.int32),
+                jnp.asarray(np.asarray(seg_first), jnp.int32),
+                jnp.asarray(np.stack(seg_partner), jnp.int32),
+                jnp.asarray(np.stack(seg_valid)), cnt_panel)
+    jit_kw = dict(cfg=cfg, n_unique=len(centers), group=group,
+                  seed=seed, drop_intersection=drop_intersection)
+    if n_dev > 1:
+        # segment-parallel over the mesh: segments are independent, so
+        # they round-robin across devices; affs/consensus/centers ride in
+        # replicated (an all-gather when the consensus arrives z-sharded
+        # from sharded_consensus_and_rank).  Memory-scaling (z-partitioned
+        # windows) is the blockwise path's job — this targets wall-clock.
+        from jax.sharding import PartitionSpec as SP
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        ax = mesh.axis_names[0]
+
+        def worker(affs_r, cons_r, centers_r, sf, sp, sv, cp):
+            return _patch_graph_weights_jit(affs_r, cons_r, centers_r,
+                                            sf, sp, sv, cp, **jit_kw)
+
+        rep4 = SP(*([None] * 4))
+        kwargs = dict(
+            mesh=mesh,
+            in_specs=(rep4, SP(*([None] * cons_sym.ndim)),
+                      SP(None, None), SP(ax), SP(ax, None), SP(ax, None),
+                      SP(*([None] * cnt_panel.ndim))),
+            out_specs=SP(ax, None))
+        try:
+            fn = shard_map(worker, check_vma=False, **kwargs)
+        except TypeError:  # older jax spelling
+            fn = shard_map(worker, check_rep=False, **kwargs)
+        # re-place operands onto the mesh (affs/cons usually live on a
+        # single committed device from the earlier stages)
+        from jax.sharding import NamedSharding
+
+        ops = [jax.device_put(x, NamedSharding(mesh, s))
+               for x, s in zip((affs, cons_sym) + jit_args,
+                               kwargs["in_specs"])]
+        w = fn(*ops)
+    else:
+        w = _patch_graph_weights_jit(affs, cons_sym, *jit_args, **jit_kw)
     w = np.asarray(w)
     mask = np.stack(seg_valid)
     out[np.stack(seg_out)[mask]] = w[mask]

@@ -206,6 +206,106 @@ def _kernel(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
             cnt_ref[0, :, :, 0] = cnt_s[...]
 
 
+def _kernel_v5(a_l, b_l, hi_l, lo_l, a_r, b_r, hi_r, lo_r,
+               cons_ref, *refs,
+               ps, my, mx, th, weight_mode, n_dx, Y, X, fuse_norm,
+               with_counts):
+    """v5 consensus body: the (dy, dx) displacement loops are STATIC and
+    the whole (qy, qx) band of a displacement is read as one channel
+    RECTANGLE and multiply-reduced in a single vector expression.
+
+    v4 issued one (Y, X) op per (dy, dx, qy, qx) with dynamic sublane
+    window starts — ~2400 small ops per grid cell whose addressing and
+    loop overhead dominated (the kernel ran at <1% of VPU peak on 44
+    GFLOPs of real work).  Static slicing + band-rect reduces cut the
+    instruction count ~14x at identical FLOPs.
+    """
+    need_cnt = fuse_norm or with_counts
+    if with_counts:
+        cnt_ref, cons_s, cnt_s = refs
+    else:
+        cons_s, cnt_s = refs
+    psz, psy, psx = ps
+    dzo = pl.program_id(1)
+    qz = pl.program_id(2)
+    qz2 = qz + dzo
+    dz0 = dzo == 0
+
+    @pl.when(qz == 0)
+    def _init():
+        cons_s[...] = jnp.zeros_like(cons_s)
+        cnt_s[...] = jnp.zeros_like(cnt_s)
+
+    valid_z = qz2 < psz
+
+    @pl.when(valid_z)
+    def _compute():
+        def rect(dyi, k, dy, dx):
+            qy_lo, qy_hi = max(0, -dy), min(psy, psy - dy)
+            qx_lo, qx_hi = max(0, -dx), min(psx, psx - dx)
+            y0, x0 = my + dy, mx + dx
+            lsl = (0, slice(qy_lo, qy_hi), slice(qx_lo, qx_hi), 0)
+            rsl = (0, slice(qy_lo + dy, qy_hi + dy),
+                   slice(qx_lo + dx, qx_hi + dx), 0,
+                   slice(y0, y0 + Y), slice(x0, x0 + X))
+            hl = hi_l[lsl]
+            ll = lo_l[lsl]
+            hr = hi_r[rsl]
+            lr = lo_r[rsl]
+            sc = hl * (hr - lr) - ll * hr
+            if weight_mode == "norm_prob_product":
+                al = a_l[lsl]
+                bl = b_l[lsl]
+                ar = a_r[rsl]
+                br = b_r[rsl]
+                pp = al * (ar - br) - bl * ar
+                contrib = (pp - th * th * sc) / (1.0 - th * th)
+            elif weight_mode == "prob_product":
+                al = a_l[lsl]
+                bl = b_l[lsl]
+                ar = a_r[rsl]
+                br = b_r[rsl]
+                contrib = al * (ar - br) - bl * ar
+            else:
+                contrib = sc
+            cons_s[dyi, k] += jnp.sum(contrib, axis=(0, 1))
+            if need_cnt:
+                cnt_s[dyi, k] += jnp.sum(hl * (hr + lr) + ll * hr,
+                                         axis=(0, 1))
+
+        for dyi in range(2 * psy - 1):
+            dy = dyi - (psy - 1)
+            for k in range(n_dx):
+                dx = k - (psx - 1)
+                if dy > 0 or (dy == 0 and dx > 0):
+                    # lex-positive in-plane displacement: contributes for
+                    # every dz of the canonical half
+                    rect(dyi, k, dy, dx)
+                else:
+                    # lex-nonpositive (incl. d == 0 self-pairs at dz == 0):
+                    # only valid when dz > 0
+                    @pl.when(jnp.logical_not(dz0))
+                    def _gated(dyi=dyi, k=k, dy=dy, dx=dx):
+                        rect(dyi, k, dy, dx)
+
+    @pl.when(qz == psz - 1)
+    def _finish():
+        cons = cons_s[...]
+        if fuse_norm:
+            cnt = cnt_s[...]
+            cons = jnp.where(cnt != 0, cons / jnp.maximum(cnt, 1e-30),
+                             cons)
+        cons_ref[0, :, :, 0] = cons.astype(cons_ref.dtype)
+        if with_counts:
+            cnt_ref[0, :, :, 0] = cnt_s[...]
+
+
+def _use_v5() -> bool:
+    import os
+
+    return os.environ.get("PPP_PALLAS_V5", "1") != "0"
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "with_counts",
                                               "interpret"))
 def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
@@ -274,8 +374,12 @@ def consensus_array_pallas(affs: jnp.ndarray, cfg: ConsensusConfig,
                              memory_space=pltpu.VMEM)
 
     fuse_norm = bool(cfg.norm_aff)
+    # v5 (static band-rect reduces) unless PPP_PALLAS_V5=0; the flag is
+    # read at trace time — A/B in separate processes (jit caches by
+    # static args only)
     kernel = functools.partial(
-        _kernel, ps=(psz, psy, psx), my=my, mx=mx,
+        _kernel_v5 if _use_v5() else _kernel,
+        ps=(psz, psy, psx), my=my, mx=mx,
         th=float(cfg.patch_threshold), weight_mode=cfg.weight_mode,
         n_dx=n_dx, Y=Y, X=X, fuse_norm=fuse_norm,
         with_counts=with_counts)
@@ -407,6 +511,89 @@ def _rank_kernel(hi_l, lo_l, hi_r, lo_r, s_pad, score_ref, score_s,
         score_ref[0, ...] = score_s[...]
 
 
+def _rank_kernel_v5(hi_l, lo_l, hi_r, lo_r, s_pad, score_ref, score_s,
+                    *, ps, Y, X, int_counter):
+    """v5 rank body: center-aligned mask operands + static d-RECT reduces.
+
+    For a fixed patch pixel q = (qz, qy, qx), every canonical displacement
+    d it pairs with reads (a) the partner masks at channels q + d — a
+    static channel rectangle of the center-aligned stacks — and (b) the
+    consensus at S[d][c + q - rad] — a static spatial window of the
+    canonical-half block, all d-channels at once.  One multiply-reduce
+    per (q, sub-rect) replaces v4's per-(d, q) plane ops with dynamic
+    sublane starts (identical FLOPs, ~10x fewer instructions)."""
+    psz, psy, psx = ps
+    dzo = pl.program_id(1)
+    qz = pl.program_id(2)
+    qz2 = qz + dzo
+    dz0 = dzo == 0
+
+    @pl.when((dzo == 0) & (qz == 0))
+    def _init():
+        score_s[...] = jnp.zeros_like(score_s)
+
+    valid_z = qz2 < psz
+
+    @pl.when(valid_z)
+    def _compute():
+        for qy in range(psy):
+            for qx in range(psx):
+                hl = hi_l[0, qy, qx, 0]      # (Y, X) at center c
+                ll = lo_l[0, qy, qx, 0]
+
+                def subrect(dy_a, dy_b, dx_a, dx_b, qy=qy, qx=qx,
+                            hl=hl, ll=ll):
+                    # reduced contribution of the static d-subrect
+                    # [dy_a, dy_b) x [dx_a, dx_b), or None if empty
+                    if dy_a >= dy_b or dx_a >= dx_b:
+                        return None
+                    rsl = (0, slice(qy + dy_a, qy + dy_b),
+                           slice(qx + dx_a, qx + dx_b), 0)
+                    hr = hi_r[rsl]           # (bdy, bdx, Y, X) at c
+                    lr = lo_r[rsl]
+                    ssl = (0, slice(psy - 1 + dy_a, psy - 1 + dy_b),
+                           slice(psx - 1 + dx_a, psx - 1 + dx_b), 0,
+                           slice(qy, qy + Y), slice(qx, qx + X))
+                    s = s_pad[ssl].astype(jnp.float32)
+                    w_hh = hl * hr
+                    w_hl = hl * lr + ll * hr
+                    if int_counter:
+                        sgn = jnp.sign(s)
+                        pos_v = jnp.where(s != 0, sgn, -1.0)
+                        neg_v = jnp.where(s != 0, sgn, 1.0)
+                        contrib = w_hh * pos_v - w_hl * neg_v
+                    else:
+                        contrib = (w_hh - w_hl) * s
+                    return jnp.sum(contrib, axis=(0, 1))
+
+                dy_lo, dy_hi = -qy, psy - qy     # band: q + d in patch
+                dx_lo, dx_hi = -qx, psx - qx
+                # lex-positive in-plane displacements: every dz
+                acc = None
+                for r in (subrect(1, dy_hi, dx_lo, dx_hi),
+                          subrect(0, 1, 1, dx_hi)):
+                    if r is not None:
+                        acc = r if acc is None else acc + r
+                if acc is not None:
+                    score_s[...] += acc
+
+                # lex-nonpositive (incl. d == (dz,0,0)): only when dz > 0
+                @pl.when(jnp.logical_not(dz0))
+                def _neg(qy=qy, qx=qx, subrect=subrect,
+                         dy_lo=dy_lo, dx_lo=dx_lo, dx_hi=dx_hi):
+                    acc2 = None
+                    for r in (subrect(dy_lo, 0, dx_lo, dx_hi),
+                              subrect(0, 1, dx_lo, 1)):
+                        if r is not None:
+                            acc2 = r if acc2 is None else acc2 + r
+                    if acc2 is not None:
+                        score_s[...] += acc2
+
+    @pl.when((dzo == psz - 1) & (qz == psz - 1))
+    def _finish():
+        score_ref[0, ...] = score_s[...]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def rank_scores_pallas(affs: jnp.ndarray, cons_half: jnp.ndarray,
                        cfg: ConsensusConfig,
@@ -431,13 +618,60 @@ def rank_scores_pallas(affs: jnp.ndarray, cons_half: jnp.ndarray,
         "rank_scores_pallas expects the canonical-half consensus"
 
     hi, lo, tgt = _masks(affs, cfg, overlap, center_valid)
-
-    rm = tuple(int(r + p - 1) for r, p in zip(rad, ps))
     radt = tuple(int(r) for r in rad)
-    L = [_target_aligned(t, ps, radt) for t in (hi, lo)]
-    R = [_target_aligned(t, ps, rm) for t in (hi, lo)]
     s_pad = jnp.pad(cons_half,
                     [(0, 0)] * 3 + [(r, r) for r in radt])
+
+    if _use_v5():
+        # center-aligned operands, static slicing throughout (see
+        # _rank_kernel_v5); no alignment margins needed
+        hi6 = hi.reshape((psz, psy, psx, Z, Y, X))
+        lo6 = lo.reshape((psz, psy, psx, Z, Y, X))
+        grid = (Z, psz, psz)
+        my, mx = radt[1], radt[2]
+
+        def lm(z, dzo, qz):
+            return (qz, 0, 0, z, 0, 0)
+
+        def rm5(z, dzo, qz):
+            return (jnp.clip(qz + dzo, 0, psz - 1), 0, 0, z, 0, 0)
+
+        def s_map5(z, dzo, qz):
+            return (dzo, 0, 0, z + qz, 0, 0)
+
+        def out_map5(z, dzo, qz):
+            return (z, 0, 0)
+
+        in_m = pl.BlockSpec((1, psy, psx, 1, Y, X), lm,
+                            memory_space=pltpu.VMEM)
+        in_m_r = pl.BlockSpec((1, psy, psx, 1, Y, X), rm5,
+                              memory_space=pltpu.VMEM)
+        in_s5 = pl.BlockSpec((1, n_dy, n_dx, 1, Y + 2 * my, X + 2 * mx),
+                             s_map5, memory_space=pltpu.VMEM)
+        out_b5 = pl.BlockSpec((1, Y, X), out_map5,
+                              memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _rank_kernel_v5, ps=(psz, psy, psx), Y=Y, X=X,
+            int_counter=bool(cfg.rank_int_counter))
+        acc = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[in_m, in_m, in_m_r, in_m_r, in_s5],
+            out_specs=out_b5,
+            out_shape=jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((Y, X), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(hi6, lo6, hi6, lo6, s_pad)
+
+        from .consensus_jax import rank_epilogue
+
+        return rank_epilogue(acc, affs, hi, tgt, cfg, center_valid)
+
+    rm = tuple(int(r + p - 1) for r, p in zip(rad, ps))
+    L = [_target_aligned(t, ps, radt) for t in (hi, lo)]
+    R = [_target_aligned(t, ps, rm) for t in (hi, lo)]
 
     grid = (Z, psz, psz)        # dz axis spans the canonical half (dz >= 0)
 

@@ -36,6 +36,9 @@ def main():
                     help="only the reference-recipe rows")
     ap.add_argument("--only", default=None,
                     help="run a single combo by name")
+    ap.add_argument("--rms", default=None,
+                    help="comma list of eval-side remove_small_components "
+                         "filters (default 0,200,400,500,600)")
     ap.add_argument("--anchor", action="store_true",
                     help="re-score the best row under both metric "
                          "families and write the trained_e2e anchor "
@@ -144,12 +147,21 @@ def main():
              ni=(0.9, 0.1), ovn=True),
         dict(name="pt0.6fc0.4", pt=0.6, fc=0.4, mws=True, skel=True,
              ni=(0.9, 0.1)),
+        # noskel (full-fg cover) swept best at the r5 360k checkpoint;
+        # cross it with the other winning knobs
+        dict(name="noskel0.6", pt=0.6, fc=0.6, mws=True, skel=False,
+             ni=(0.9, 0.1)),
+        dict(name="noskel0.6fc0.5", pt=0.6, fc=0.5, mws=True, skel=False,
+             ni=(0.9, 0.1)),
+        dict(name="noskel_ni0.9_0.3", pt=0.5, fc=0.5, mws=True,
+             skel=False, ni=(0.9, 0.3)),
     ]
     if args.only:
         combos = [c for c in combos if c["name"] == args.only]
     elif args.quick:
         combos = combos[:1]
-    rms = (0, 200, 400, 500, 600)
+    rms = tuple(int(r) for r in args.rms.split(",")) if args.rms \
+        else (0, 200, 400, 500, 600)
 
     results = {"checkpoint": step, "exp": args.exp, "rows": []}
     best = None

@@ -169,3 +169,31 @@ def test_blockwise_composes_with_sharded_devices():
     for i in np.unique(ref_out[ref_out > 0]):
         vals = np.unique(out[ref_out == i])
         assert len(vals) == 1
+
+
+def test_sharded_patch_graph_weights_match():
+    """Segment-sharded graph weights (mesh=) == single-device weights."""
+    from patchperpix_tpu.ops import np_reference as ref
+    from patchperpix_tpu.ops import synthetic
+    from patchperpix_tpu.ops.consensus_jax import (patch_graph_weights,
+                                                   symmetrize_consensus)
+
+    mesh = _cpu_mesh(4)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3))
+    labels = synthetic.two_blob_labels_3d()
+    affs = synthetic.labels_to_affinities(labels, np.array([3, 3, 3]))
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    affs_d = jax.device_put(jnp.asarray(affs), cpu0)
+    cons = consensus_array(affs_d, cfg)
+    sym = symmetrize_consensus(cons, cfg)
+
+    fg = affs[13] > 0.5
+    centers = np.argwhere(fg)[::3]
+    pairs, _ = ref.patch_pairs_reference(
+        [(tuple(c), 0.0) for c in centers], np.array([3, 3, 3]))
+    assert len(pairs) > 8
+
+    w0 = np.asarray(patch_graph_weights(affs_d, sym, pairs, cfg))
+    w_sh = np.asarray(patch_graph_weights(affs_d, sym, pairs, cfg,
+                                          mesh=mesh))
+    np.testing.assert_allclose(w_sh, w0, atol=1e-5, rtol=1e-5)
