@@ -176,10 +176,11 @@ def self_consistent_pipeline(gt_labels):
         dec = decode_volume_device(model, params, code, fg, cfg)
         _sync(dec)
         t2 = time.perf_counter()
-        # pt=0.6 swept best for this checkpoint (parity/sweep_dec.json:
-        # avg_f1_cov 0.609 / AP@0.5 0.5 with rm 500)
-        inst, _ = run_assembly(dec, fg, numinst, "jax", skeletonize=True,
-                               pt=0.6)
+        # pt=0.6 / fc=0.5 / full-fg cover (no skeletonize) swept best for
+        # the SWA checkpoint (parity/sweep_r5_swa.json: avg_f1_cov 0.6746
+        # / AP@0.5 0.5 with rm 400)
+        inst, _ = run_assembly(dec, fg, numinst, "jax", skeletonize=False,
+                               pt=0.6, fc=0.5)
         t3 = time.perf_counter()
         timing.update(predict=t1 - t0, decode=t2 - t1, assemble=t3 - t2,
                       total=t3 - t0)
@@ -195,9 +196,9 @@ def self_consistent_pipeline(gt_labels):
     from patchperpix_tpu.utils.postprocess import remove_small_components
 
     # reference evaluation recipe for FlyLight: remove_small_components
-    # 500 before scoring (default.toml [evaluation]); the parameter sweep
-    # (parity/sweep_ft.json) confirms it dominates smaller filters
-    inst = remove_small_components(inst, 500)
+    # before scoring (default.toml [evaluation]); rm=400 swept best for
+    # the SWA checkpoint (parity/sweep_r5_swa.json)
+    inst = remove_small_components(inst, 400)
     acc = {}
     res = evaluate_labels(inst, gt_labels, localization_criterion="cldice",
                           assignment_strategy="greedy", keep_gt_shape=True)

@@ -253,3 +253,54 @@ def test_blockwise_block_devices_distributes_and_matches():
     wl, bl = relabel(ref_out), relabel(out)
     pairs = set(zip(wl[fg].tolist(), bl[fg].tolist()))
     assert len(pairs) == len(np.unique(wl[fg]))
+
+
+@pytest.mark.slow
+def test_blockwise_block_devices_full_assembly_120(tmp_path):
+    """Full blockwise assembly at 120^3 with blocks distributed over the
+    8-virtual-device mesh (VERDICT r4 item 7): the multi-device run must
+    produce the same instance partition as the single-device blockwise
+    run at out-of-core scale.  Canonical block shapes mean ONE compiled
+    program serves all 27 blocks on every device."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+
+    rng = np.random.RandomState(7)
+    labels = np.zeros((120, 120, 120), dtype=np.int32)
+    # ~10 well-separated solid blobs spanning block boundaries
+    grid = [(z, y, x) for z in (20, 60, 100) for y in (25, 85)
+            for x in (30, 90)]
+    for i, c in enumerate(grid[:10]):
+        jit = rng.randint(-6, 7, size=3)
+        z, y, x = (int(np.clip(a + b, 10, 109)) for a, b in zip(c, jit))
+        r = int(rng.randint(6, 10))
+        zz, yy, xx = np.ogrid[:120, :120, :120]
+        ball = ((zz - z) ** 2 + (yy - y) ** 2 + (xx - x) ** 2) <= r * r
+        labels[ball] = i + 1
+
+    ps = np.array([3, 3, 3])
+    affs = synthetic.labels_to_affinities(labels, ps)
+    fg = affs[13] > 0.5
+    base = dict(patchshape=(3, 3, 3), engine="jax",
+                removeIntersection=False)
+
+    ref_out, _ = blockwise_vote_instances(
+        affs, fg, fg.astype(np.uint8), VoteInstancesParams(**base),
+        chunksize=(40, 40, 40))
+    ref_out[~fg] = 0
+
+    out, _ = blockwise_vote_instances(
+        affs, fg, fg.astype(np.uint8),
+        VoteInstancesParams(block_devices=-1, **base),
+        chunksize=(40, 40, 40))
+    out[~fg] = 0
+
+    n_inst = len(np.unique(labels)) - 1
+    wl, bl = relabel(ref_out), relabel(out)
+    assert len(np.unique(wl[wl > 0])) == n_inst
+    # instance-level bijection between the two runs
+    pairs = set(zip(wl[fg].tolist(), bl[fg].tolist()))
+    assert len(pairs) == n_inst
+    assert len({b for _, b in pairs}) == n_inst
