@@ -56,6 +56,20 @@ def main():
     from patchperpix_tpu.ops.synthetic import labels_to_affinities
     from patchperpix_tpu.utils import io as vio
 
+    # count DISTINCT XLA programs built during the run (compile requests
+    # reaching the backend, cache hits included) — substantiates the
+    # canonical-shape O(1)-programs claim (blockwise.py:640-661): the
+    # count must not scale with the number of blocks
+    import jax._src.compiler as _jc
+    compile_calls = {"n": 0}
+    _orig_compile = _jc.compile_or_get_cached
+
+    def _counting_compile(*a, **kw):
+        compile_calls["n"] += 1
+        return _orig_compile(*a, **kw)
+
+    _jc.compile_or_get_cached = _counting_compile
+
     labels = synth_labels(extent)
     n_gt = len(np.unique(labels[labels > 0]))
     affs = labels_to_affinities(labels, np.array(PS))
@@ -85,6 +99,7 @@ def main():
     t0 = time.perf_counter()
     out_path = do_all(zpath, params, result_folder=work)
     wall = time.perf_counter() - t0
+    programs_cold = compile_calls["n"]
     # wipe the result hdf + per-block npz store so the warm run recomputes
     # everything (only XLA programs stay cached)
     for name in os.listdir(work):
@@ -94,6 +109,7 @@ def main():
     t0 = time.perf_counter()
     out_path = do_all(zpath, params, result_folder=work)
     wall_steady = time.perf_counter() - t0
+    programs_steady = compile_calls["n"] - programs_cold
 
     oh = vio.IoHDF5(out_path, mode="r")
     inst = oh.read(key=params.res_key)
@@ -105,6 +121,8 @@ def main():
     out = {"extent": extent, "chunksize": 64, "wall_s": wall,
            "wall_steady_s": wall_steady, "compile_s": wall - wall_steady,
            "mvox_per_s_steady": extent ** 3 / wall_steady / 1e6,
+           "programs_cold": programs_cold,
+           "programs_steady_new": programs_steady,
            "n_gt": n_gt, "n_pred": int(n_pred), "n_gt_split": split,
            "fg_vox": int(fg.sum()),
            "consensus_bytes_whole_volume": int(
