@@ -534,6 +534,13 @@ def _graph_mxu_precision():
     return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGH)
 
 
+def _graph_chunk() -> int:
+    """Segments per chunked-map step in the graph stage (0/1 = the
+    sequential per-segment loop).  Read at trace time like the other
+    PPP_* kernel knobs — A/B in separate processes."""
+    return int(os.environ.get("PPP_GRAPH_CHUNK", "32"))
+
+
 def _dot_shear_panel(pb: jnp.ndarray, ps: np.ndarray) -> jnp.ndarray:
     """(neigh…, ps…) window -> skewed (P, prod(U)) panel via one-hot MXU
     contractions; numerically equal to ``_skew_panel`` (each output
@@ -651,7 +658,8 @@ def _h2_band(h2: jnp.ndarray, ps, ext) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "drop_intersection",
-                                              "n_unique", "group"))
+                                              "n_unique", "group",
+                                              "chunk"))
 def _patch_graph_weights_jit(
     affs: jnp.ndarray,
     cons_sym: jnp.ndarray,
@@ -665,6 +673,7 @@ def _patch_graph_weights_jit(
     group: int,
     seed: int = 0,
     drop_intersection: bool = True,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     ps, rad = cfg.ps, cfg.rad
     ndim = len(ps)
@@ -742,13 +751,23 @@ def _patch_graph_weights_jit(
     W_U = 1 + sum(int(ps[j] - 1) * uU[j] for j in range(1, ndim))
     ps0 = int(ps[0])
 
+    def seg_window(i):
+        # (n_off, ps...) consensus window of segment i's first patch;
+        # a plain dynamic slice (sequential window reads measured 36 ms
+        # TOTAL at 535 segments — scripts/window_micro.py; turning them
+        # into one big gather was the variant that measured 2.5x slower)
+        c1 = centers[i].astype(jnp.int32)
+        return jax.lax.dynamic_slice(
+            cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
+            (n_off,) + blk_sp).astype(jnp.float32)
+
     def one_segment(seg):
         i, partners, valid = seg
+        pb = seg_window(i).reshape(tuple(int(v) for v in neigh) + blk_sp)
+        return _one_segment_body(i, partners, valid, pb)
+
+    def _one_segment_body(i, partners, valid, pb):
         c1 = centers[i].astype(jnp.int32)
-        pb = jax.lax.dynamic_slice(
-            cons_sp_pad, (0,) + tuple(c1[k] for k in range(ndim)),
-            (n_off,) + blk_sp).astype(jnp.float32).reshape(
-                tuple(int(v) for v in neigh) + blk_sp)
         hi1 = HIs[i]
 
         # value side: the hi-contraction of the skewed panel is computed
@@ -834,11 +853,44 @@ def _patch_graph_weights_jit(
             lambda ok, dc, h2e: one_pair(ok, dc, h2e, None, None,
                                          None))(valid, dcs, h2E)
 
-    # sequential map: vmapping segments (batch_size=) turns the panel
-    # dynamic-slices into gathers and measured 2.5x SLOWER on TPU
-    return jax.lax.map(one_segment, (seg_first.astype(jnp.int32),
-                                     seg_partner.astype(jnp.int32),
-                                     seg_valid))
+    if chunk is None:
+        chunk = _graph_chunk()
+    n_seg = int(seg_first.shape[0])
+    if chunk <= 1 or n_seg <= chunk:
+        # sequential map: the per-segment einsums are ~1 ms MXU passes,
+        # so n_seg sequential steps dominate the stage wall at scale —
+        # the chunked path below batches them; this branch remains for
+        # A/B (PPP_GRAPH_CHUNK=1) and tiny inputs
+        return jax.lax.map(one_segment, (seg_first.astype(jnp.int32),
+                                         seg_partner.astype(jnp.int32),
+                                         seg_valid))
+
+    # CHUNKED segment loop: B segments per step.  The window reads stay
+    # sequential dynamic slices (an inner lax.map — cheap, and the one
+    # formulation that does NOT gather), while every einsum in the
+    # segment body runs vmapped over the chunk: B-batched shear/joint
+    # contractions and one (B, G, P) @ (B, P, U^d) correction matmul
+    # replace B ~1 ms single-segment MXU passes.  At bench scale
+    # (~1.1 k segments from trained affinities) this turns ~1.1 k
+    # sequential steps into ~n/B big ones.
+    pad = -n_seg % chunk
+    sf = jnp.pad(seg_first.astype(jnp.int32), (0, pad))
+    sp_ = jnp.pad(seg_partner.astype(jnp.int32), ((0, pad), (0, 0)))
+    sv = jnp.pad(seg_valid, ((0, pad), (0, 0)))
+    n_chunks = (n_seg + pad) // chunk
+
+    def one_chunk(seg_b):
+        i_b, partners_b, valid_b = seg_b
+        wins = jax.lax.map(seg_window, i_b)          # (B, n_off, ps...)
+        pb_b = wins.reshape((chunk,) + tuple(int(v) for v in neigh)
+                            + blk_sp)
+        return jax.vmap(_one_segment_body)(i_b, partners_b, valid_b, pb_b)
+
+    w = jax.lax.map(one_chunk,
+                    (sf.reshape(n_chunks, chunk),
+                     sp_.reshape(n_chunks, chunk, -1),
+                     sv.reshape(n_chunks, chunk, -1)))
+    return w.reshape(n_chunks * chunk, -1)[:n_seg]
 
 
 def patch_graph_weights(
@@ -850,6 +902,7 @@ def patch_graph_weights(
     drop_intersection: bool = True,
     group: int = 64,
     mesh=None,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Affinity weight per candidate patch pair (computePatchGraph.cu).
 
@@ -917,13 +970,13 @@ def patch_graph_weights(
         lo, hi = bounds[fi], bounds[fi + 1]
         for s in range(lo, hi, group):
             stop = min(s + group, hi)  # never spill into the next first
-            chunk = order[s:stop]
+            out_idx = order[s:stop]
             partners = p_second[s:stop]
-            pad = group - len(chunk)
+            pad = group - len(out_idx)
             seg_first.append(f)
             seg_partner.append(np.pad(partners, (0, pad)))
-            seg_valid.append(np.pad(np.ones(len(chunk), bool), (0, pad)))
-            seg_out.append(np.pad(chunk, (0, pad)))
+            seg_valid.append(np.pad(np.ones(len(out_idx), bool), (0, pad)))
+            seg_out.append(np.pad(out_idx, (0, pad)))
     # pad segment count to a multiple of 8 to bound recompiles (and, on a
     # mesh, to a multiple of 8 * n_devices so segments split evenly)
     n_dev = int(mesh.shape[mesh.axis_names[0]]) if mesh is not None else 1
@@ -944,7 +997,8 @@ def patch_graph_weights(
                 jnp.asarray(np.stack(seg_partner), jnp.int32),
                 jnp.asarray(np.stack(seg_valid)), cnt_panel)
     jit_kw = dict(cfg=cfg, n_unique=len(centers), group=group,
-                  seed=seed, drop_intersection=drop_intersection)
+                  seed=seed, drop_intersection=drop_intersection,
+                  chunk=_graph_chunk() if chunk is None else chunk)
     if n_dev > 1:
         # segment-parallel over the mesh: segments are independent, so
         # they round-robin across devices; affs/consensus/centers ride in

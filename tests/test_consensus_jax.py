@@ -253,3 +253,25 @@ def test_consensus_bf16_storage_close():
     s32 = np.asarray(rank_scores(affs, c32, cfg32))
     s16 = np.asarray(rank_scores(affs, c16, cfg16))
     assert np.abs(s32 - s16).max() < 0.02
+
+
+def test_patch_graph_chunked_equals_sequential():
+    """The chunked segment loop (PPP_GRAPH_CHUNK batching of the graph
+    einsums) must reproduce the sequential per-segment loop exactly —
+    many centers so n_seg spans several chunks, intersection correction
+    ON (the panel/corr matmuls are the batched ops)."""
+    ps = np.array([3, 3, 3])
+    affs = _random_affs((14, 14, 14), 27, seed=11)
+    cfg = ConsensusConfig(patchshape=(3, 3, 3))
+    centers = [(np.array([z, y, x]), 1.0)
+               for z in (3, 6, 9) for y in (3, 6, 9) for x in (3, 6, 9)]
+    pairs, _ = ref.patch_pairs_reference(centers, ps,
+                                         include_singleton=True)
+    cons_j = consensus_array(affs, cfg)
+    sym = symmetrize_consensus(cons_j, cfg)
+    w_seq = np.asarray(patch_graph_weights(affs, sym, pairs, cfg,
+                                           chunk=1))
+    w_chk = np.asarray(patch_graph_weights(affs, sym, pairs, cfg,
+                                           chunk=4))
+    np.testing.assert_allclose(w_chk, w_seq, atol=1e-5, rtol=1e-5)
+    assert np.any(w_seq != 0)
