@@ -379,7 +379,7 @@ def main():
                       f" avg_f1_cov {sc_acc['avg_f1_cov_score']:.3f},"
                       f" AP@0.5 {sc_acc['AP_0.5_iou_hungarian']:.3f},"
                       f" assemble {roof['gflops_per_s']:.0f} GF/s"
-                      f" = {roof['pct_of_vpu_peak']:.1f}% VPU"
+                      f" = {roof['pct_of_vpu_peak']:.1f}% est-VPU"
                       f" / {roof['pct_of_hbm_peak']:.1f}% HBM"
                       f" ({roof['bound']}-bound)]",
             "value": round(nvox / st["total"] / 1e6, 4),

@@ -40,8 +40,10 @@ class ChipPeaks:
     hbm_gbps: float
 
 
-# Published peaks (cloud.google.com TPU system architecture docs); VPU
-# f32 estimates = 8 ops/cycle * 8x128 lanes * clock.
+# MXU/HBM peaks are published figures (cloud.google.com TPU system
+# architecture docs).  The VPU f32 peaks are ESTIMATES (no published
+# figure exists): 8 ops/cycle * 8x128 lanes * clock — order-of-magnitude
+# anchors only, and labeled "est-VPU" wherever a %-of-peak is printed.
 _PEAKS = {
     "v5e": ChipPeaks("TPU v5e", 197.0, 7.5, 819.0),
     "v5litepod": ChipPeaks("TPU v5e", 197.0, 7.5, 819.0),
