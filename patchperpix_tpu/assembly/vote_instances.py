@@ -248,14 +248,27 @@ def _pad_all(arrays, rad):
     return out
 
 
-def _device_paint_src(affs_dev, comps) -> dict:
+def _device_paint_src(affs_dev, comps, patch_threshold: float) -> dict:
     """One batched device gather of the component nodes' patch columns ->
-    sparse-dict painting source (only K*P floats cross the D2H relay)."""
+    sparse-dict painting source.
+
+    The painter (np_reference.components_to_instances) only consumes
+    ``patch > patch_threshold``, so the columns are thresholded ON DEVICE
+    and cross the ~3 MB/s D2H relay BIT-PACKED: K*P/8 bytes instead of
+    K*P f32 (~32x less — at bench scale the f32 gather alone was ~0.5 s
+    of the labeling wall).  The returned uint8 0/1 vectors behave
+    identically under the painter's own > threshold test."""
+    import jax.numpy as jnp
+
     nodes = [idx for comp in comps for idx in comp]
     if not nodes:
         return {}
     pts = np.asarray(nodes, dtype=np.int64)
-    cols = np.asarray(affs_dev[(slice(None),) + tuple(pts.T)])
+    P = int(affs_dev.shape[0])
+    packed = jnp.packbits(
+        (affs_dev[(slice(None),) + tuple(pts.T)]
+         > patch_threshold).astype(jnp.uint8), axis=0)
+    cols = np.unpackbits(np.asarray(packed), axis=0, count=P)
     return {tuple(int(x) for x in c): cols[:, i]
             for i, c in enumerate(pts)}
 
@@ -337,7 +350,8 @@ def to_instance_seg(
             # (e.g. store_intermediates after a vote_debug injection)
             return pairs, weights
         comps = ref.graph_components(pairs, weights, mws=params.mws)
-        paint_src = (_device_paint_src(pred_affs, comps)
+        paint_src = (_device_paint_src(pred_affs, comps,
+                                       params.patch_threshold)
                      if affs_on_device else pred_affs)
         instances = ref.components_to_instances(
             comps, paint_src, ps, vol_shape,
@@ -752,7 +766,8 @@ def to_instance_seg(
         comps = graph_components_device(pairs, weights)
     else:
         comps = ref.graph_components(pairs, weights, mws=params.mws)
-    paint_src = (_device_paint_src(pred_affs_dev, comps)
+    paint_src = (_device_paint_src(pred_affs_dev, comps,
+                                   params.patch_threshold)
                  if affs_on_device else pred_affs)
     instances = ref.components_to_instances(
         comps, paint_src, ps, vol_shape,

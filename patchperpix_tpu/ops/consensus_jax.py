@@ -534,11 +534,28 @@ def _graph_mxu_precision():
     return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGH)
 
 
-def _graph_chunk() -> int:
+def _graph_chunk(cfg: ConsensusConfig | None = None) -> int:
     """Segments per chunked-map step in the graph stage (0/1 = the
-    sequential per-segment loop).  Read at trace time like the other
-    PPP_* kernel knobs — A/B in separate processes."""
-    return int(os.environ.get("PPP_GRAPH_CHUNK", "32"))
+    sequential per-segment loop).
+
+    Measured on the bench workload (scripts/graph_chunk_ab.py, 68 k
+    pairs at 50^3/7^3): chunk 128 = 1.06 s, chunk 1 = 1.52 s, but the
+    INTERMEDIATE sizes lose (chunk 8 = 2.57 s, 32 = 1.66 s — batching
+    overhead without amortization), and 256 OOMs a 16 GB chip alongside
+    the resident consensus.  So the auto choice is binary: 128 when the
+    chunk's panel+window transients fit a 2 GB budget, else the
+    sequential loop.  PPP_GRAPH_CHUNK overrides."""
+    env = os.environ.get("PPP_GRAPH_CHUNK")
+    if env is not None:
+        return int(env)
+    if cfg is None:
+        return 1
+    ps = cfg.ps
+    P = cfg.P
+    n_off = int(np.prod(cfg.neigh))
+    u = int(np.prod([3 * int(p) - 2 for p in ps]))
+    per_seg = (P * u + n_off * P) * 4          # f32 panel + window
+    return 128 if 128 * per_seg <= 2 << 30 else 1
 
 
 def _dot_shear_panel(pb: jnp.ndarray, ps: np.ndarray) -> jnp.ndarray:
@@ -854,7 +871,7 @@ def _patch_graph_weights_jit(
                                          None))(valid, dcs, h2E)
 
     if chunk is None:
-        chunk = _graph_chunk()
+        chunk = _graph_chunk(cfg)
     n_seg = int(seg_first.shape[0])
     if chunk <= 1 or n_seg <= chunk:
         # sequential map: the per-segment einsums are ~1 ms MXU passes,
@@ -998,7 +1015,7 @@ def patch_graph_weights(
                 jnp.asarray(np.stack(seg_valid)), cnt_panel)
     jit_kw = dict(cfg=cfg, n_unique=len(centers), group=group,
                   seed=seed, drop_intersection=drop_intersection,
-                  chunk=_graph_chunk() if chunk is None else chunk)
+                  chunk=_graph_chunk(cfg) if chunk is None else chunk)
     if n_dev > 1:
         # segment-parallel over the mesh: segments are independent, so
         # they round-robin across devices; affs/consensus/centers ride in
