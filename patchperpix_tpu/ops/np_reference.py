@@ -606,8 +606,84 @@ def _mws(edges):
     """Mutex watershed on the patch graph (graph_mws.py:7-85 semantics).
 
     Kruskal over |aff|-sorted edges; positive edges merge unless a mutex
-    (negative edge seen earlier at higher |aff|) separates the two clusters.
+    (negative edge seen earlier at higher |aff|) separates the two
+    clusters.  Union-find with per-cluster mutex sets that merge (and
+    re-point) on union — the naive formulation (``_mws_naive``, kept as
+    the oracle for test_mws_fast_matches_naive) re-scans the whole mutex
+    list per attractive edge, O(E*M) python at bench scale (~68k edges).
+    Output-identical: same cluster ids (created on first merge, min id
+    kept), same membership, same order.
     """
+    nodes = []
+    node_ids = {}
+    for a, b, w in edges:
+        for n in (a, b):
+            if n not in node_ids:
+                node_ids[n] = len(nodes)
+                nodes.append(n)
+    typed = [(node_ids[a], node_ids[b], abs(w), 1 if w > 0 else -1)
+             for a, b, w in edges]
+    typed.sort(key=lambda x: x[2], reverse=True)
+
+    N = len(nodes)
+    parent = list(range(N))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cid = [0] * N            # naive loop's cluster id; 0 = singleton pool
+    members = {}             # root -> member node ids (only once merged)
+    mutex_sets = {}          # root -> set of mutexed roots
+    next_cc = 1
+    for e0, e1, a, attractive in typed:
+        r0, r1 = find(e0), find(e1)
+        if attractive == 1:
+            if r0 == r1:
+                continue
+            ms0 = mutex_sets.get(r0)
+            if ms0 is not None and r1 in ms0:
+                continue
+            c0, c1 = cid[r0], cid[r1]
+            if c0 and c1:
+                new_id = min(c0, c1)
+            elif c0 or c1:
+                new_id = max(c0, c1)
+            else:
+                new_id = next_cc
+                next_cc += 1
+            m0 = members.get(r0) or [r0]
+            m1 = members.get(r1) or [r1]
+            if len(m0) < len(m1):         # union by size
+                r0, r1 = r1, r0
+                m0, m1 = m1, m0
+            parent[r1] = r0
+            m0.extend(m1)
+            members[r0] = m0
+            members.pop(r1, None)
+            cid[r0] = new_id
+            ms1 = mutex_sets.pop(r1, None)
+            if ms1:
+                ms0 = mutex_sets.setdefault(r0, set())
+                for m in ms1:
+                    mutex_sets[m].discard(r1)
+                    mutex_sets[m].add(r0)
+                    ms0.add(m)
+        elif r0 != r1:
+            mutex_sets.setdefault(r0, set()).add(r1)
+            mutex_sets.setdefault(r1, set()).add(r0)
+
+    by_id = {}
+    for r, m in members.items():
+        by_id[cid[r]] = m
+    return [[nodes[i] for i in sorted(by_id[c])] for c in sorted(by_id)]
+
+
+def _mws_naive(edges):
+    """The literal re-scan formulation of ``_mws`` (oracle for the
+    equivalence test; see _mws docstring)."""
     nodes = []
     node_ids = {}
     for a, b, w in edges:

@@ -293,3 +293,26 @@ def test_cover_mark_close_neighborhood():
         d = np.abs(sel - sel[i])
         close = np.logical_and(d[:, 1] <= 3, d[:, 2] <= 3)
         assert close.sum() == 1  # only itself
+
+
+def test_mws_fast_matches_naive():
+    """The union-find mutex-watershed must reproduce the naive re-scan
+    loop exactly (ids, membership, order) on random signed graphs."""
+    rng = np.random.RandomState(5)
+    for trial in range(20):
+        n = rng.randint(4, 40)
+        n_e = rng.randint(3, 160)
+        edges = []
+        seen = set()
+        for _ in range(n_e):
+            a, b = rng.randint(0, n, 2)
+            if a == b or (a, b) in seen or (b, a) in seen:
+                continue
+            seen.add((a, b))
+            w = float(np.round(rng.randn(), 3))
+            if w == 0:
+                continue
+            edges.append(((a,), (b,), w))
+        fast = ref._mws(edges)
+        naive = ref._mws_naive(edges)
+        assert fast == naive, (trial, fast, naive)
