@@ -683,7 +683,7 @@ def to_instance_seg(
                     fc_threshold=params.fc_threshold,
                     overlap=overlap_mask,
                     sparse_data=params.select_patches_for_sparse_data,
-                    want_running=False)
+                    want_running=False, mesh=sharded_mesh)
         else:
             host_cover_affs = (_thin_host(pred_affs)
                                if params.sample < 1.0 else pred_affs)

@@ -289,11 +289,16 @@ def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
                         fc_threshold: float = 0.5,
                         overlap: np.ndarray | None = None,
                         sparse_data: bool = False,
-                        want_running: bool = True):
+                        want_running: bool = True,
+                        mesh=None):
     """Device-side greedy foreground cover over the ranked patch list.
 
     ``want_running=False`` skips the D2H readback of the running
-    (still-uncovered) volume — the assembly driver discards it."""
+    (still-uncovered) volume — the assembly driver discards it.
+    ``mesh``: a spatial device mesh — the min-scatter closed form
+    (sparse-data single-threshold cover) is z-sharded over it with a
+    rad-slice halo exchange (parallel/sharded.py); the dense cascade
+    walk is inherently sequential and stays single-device."""
     ps = np.asarray(patchshape, dtype=np.int64)
     rad = ps // 2
     if not ranked_patches:
@@ -317,12 +322,32 @@ def greedy_cover_device(affs: np.ndarray, mask_to_cover: np.ndarray,
     if pix_ths == (0,) and not os.environ.get("PPP_DISABLE_MINSCATTER"):
         # single-threshold cover has an exact closed form (min-rank
         # fields); the cascade (dense data) stays on the ranked walk
-        selected, running = _greedy_cover_min_scatter(
-            jnp.asarray(affs), jnp.asarray(centers),
-            jnp.asarray(overlap_rows),
-            jnp.asarray(mask_to_cover, jnp.float32),
-            jnp.asarray(interior),
-            tuple(int(p) for p in ps), float(fc_threshold))
+        ps_t = tuple(int(p) for p in ps)
+        use_mesh = (mesh is not None and len(mesh.devices.flat) > 1
+                    and mask_to_cover.shape[0] % len(mesh.devices.flat)
+                    == 0
+                    and (mask_to_cover.shape[0]
+                         // len(mesh.devices.flat)) >= int(rad[0]))
+        if use_mesh:
+            from ..parallel.sharded import sharded_cover_min_scatter
+
+            INF = np.int32(2 ** 30)
+            ranks = np.where(overlap_rows, INF,
+                             np.arange(n, dtype=np.int32))
+            rankvol = np.full(mask_to_cover.shape, INF, np.int32)
+            rankvol[tuple(centers.T)] = ranks
+            selected, running = sharded_cover_min_scatter(
+                jnp.asarray(affs), jnp.asarray(rankvol),
+                jnp.asarray(mask_to_cover, jnp.float32),
+                jnp.asarray(interior), n, ps_t, float(fc_threshold),
+                mesh)
+        else:
+            selected, running = _greedy_cover_min_scatter(
+                jnp.asarray(affs), jnp.asarray(centers),
+                jnp.asarray(overlap_rows),
+                jnp.asarray(mask_to_cover, jnp.float32),
+                jnp.asarray(interior),
+                ps_t, float(fc_threshold))
     else:
         selected, running = _greedy_cover_volume(
             jnp.asarray(affs), jnp.asarray(centers),

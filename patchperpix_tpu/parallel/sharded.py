@@ -26,6 +26,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.consensus_jax import ConsensusConfig, consensus_array, rank_scores
 
 
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def _smap(worker, **kwargs):
+    shard_map = _shard_map()
+    try:
+        return shard_map(worker, check_vma=False, **kwargs)
+    except TypeError:  # older jax spelling
+        return shard_map(worker, check_rep=False, **kwargs)
+
+
 def make_spatial_mesh(n_devices: int | None = None, axis: str = "sp",
                       backend: str | None = None) -> Mesh:
     if backend is not None:
@@ -138,11 +154,6 @@ def sharded_consensus_and_rank(
         scores_loc = scores_ext[halo:halo + local]
         return cons_loc, scores_loc
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
     spec_affs = P(None, axis, None, None)
     spec_mask = P(axis, None, None)
     spec_cons = P(*([None] * ndim), axis, None, None)
@@ -156,10 +167,87 @@ def sharded_consensus_and_rank(
     if has_cv:
         args.append(center_valid)
         in_specs.append(spec_mask)
-    kwargs = dict(mesh=mesh, in_specs=tuple(in_specs),
-                  out_specs=(spec_cons, spec_scores))
-    try:
-        fn = shard_map(worker, check_vma=False, **kwargs)
-    except TypeError:  # older jax spelling
-        fn = shard_map(worker, check_rep=False, **kwargs)
+    fn = _smap(worker, mesh=mesh, in_specs=tuple(in_specs),
+               out_specs=(spec_cons, spec_scores))
     return fn(*args)
+
+
+def sharded_cover_min_scatter(affs, rankvol, mask, interior, n: int,
+                              ps: tuple, fc_threshold: float, mesh: Mesh,
+                              axis: str = "sp"):
+    """z-sharded exact min-rank greedy cover (the pix_th == 0 closed form,
+    ops/cover.py:85-140 ``_greedy_cover_min_scatter``).
+
+    The cover's sequential ranked walk collapses, for the sparse-data
+    single-threshold cascade, to ``m(x) = min rank over candidates whose
+    fg-window contains x`` — a min-reduction over P shifted rank fields.
+    Votes into a pixel come from centers within ``rad``, so each shard only
+    needs a ``rad``-slice halo of the rank field and affinities
+    (vs 3*rad for consensus+rank).  The two cross-shard quantities are
+    collectives over the mesh: the rank cutoff ``r_star`` (a pmax of
+    per-shard maxima) and the replicated ``selected`` vector (a pmax-OR of
+    per-shard scatter results — each pixel is owned by exactly one shard).
+
+    affs: (P, Z, Y, X); rankvol/mask/interior: (Z, Y, X) with
+    rankvol int32 (INF background, candidate ranks at centers, overlap
+    rows pre-gated to INF by the caller).  Z divisible by the mesh size,
+    local slab >= rad.  Returns (selected (n,) bool, running (Z, Y, X))
+    identical to the single-device closed form.
+    """
+    import numpy as _np
+
+    from ..ops.consensus_jax import _shift_nd
+    from ..ops.np_reference import patch_offsets
+
+    ndim = len(ps)
+    rad = tuple(int(p) // 2 for p in ps)
+    halo = rad[0]
+    nsh = mesh.shape[axis]
+    Z = mask.shape[0]
+    assert Z % nsh == 0, f"z extent {Z} not divisible by mesh size {nsh}"
+    local = Z // nsh
+    assert local >= halo, (
+        f"local slab ({local}) must cover the {halo}-slice cover halo")
+    INF = jnp.int32(2 ** 30)
+
+    offs = patch_offsets(_np.asarray(ps))
+    shifts = jnp.asarray(offs - _np.asarray(rad)[None, :], jnp.int32)
+    fc = jnp.float32(fc_threshold)
+
+    def worker(affs_blk, rank_blk, mask_blk, int_blk):
+        ext_affs = _halo_exchange(affs_blk, halo, axis, spatial_axis=1)
+        # the rank field needs INF (not zero) fill at the global edges:
+        # exchange the INF-complement, whose zero-filled edge halos map
+        # back to INF
+        ext_rank = INF - _halo_exchange(INF - rank_blk, halo, axis,
+                                        spatial_axis=0)
+
+        def m_q(q, s):
+            gated = jnp.where(ext_affs[q] > fc, ext_rank, INF)
+            return INF - _shift_nd(INF - gated, s, tuple(range(ndim)))
+
+        m_ext = jnp.min(jax.vmap(m_q)(jnp.arange(ext_affs.shape[0]),
+                                      shifts), axis=0)
+        m = m_ext[halo:halo + local]
+        m = jnp.where(mask_blk > 0.5, m, INF)
+
+        int_mask = (int_blk > 0.5) & (mask_blk > 0.5)
+        r_local = jnp.max(jnp.where(int_mask, m, -1),
+                          initial=jnp.int32(-1))
+        r_star = jax.lax.pmax(r_local, axis)
+
+        covered = (m <= r_star) & (m < INF)
+        running = jnp.where(covered, 0.0, mask_blk)
+        idx = jnp.where(covered, m, n)               # trash slot n
+        sel_local = jnp.zeros((n + 1,), jnp.int32).at[
+            idx.reshape(-1)].set(1)
+        selected = jax.lax.pmax(sel_local, axis)     # replicated OR
+        return selected, running
+
+    spec_affs = P(None, axis, None, None)
+    spec_vol = P(axis, None, None)
+    fn = _smap(worker, mesh=mesh,
+               in_specs=(spec_affs, spec_vol, spec_vol, spec_vol),
+               out_specs=(P(), spec_vol))
+    selected, running = fn(affs, rankvol, mask, interior)
+    return selected[:n] > 0, running

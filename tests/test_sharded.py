@@ -197,3 +197,39 @@ def test_sharded_patch_graph_weights_match():
     w_sh = np.asarray(patch_graph_weights(affs_d, sym, pairs, cfg,
                                           mesh=mesh))
     np.testing.assert_allclose(w_sh, w0, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_cover_min_scatter_matches():
+    """z-sharded min-rank cover == single-device closed form (bit-exact
+    selected set + running volume), including overlap-gated rows."""
+    from patchperpix_tpu.ops import synthetic
+    from patchperpix_tpu.ops.cover import greedy_cover_device
+
+    mesh = _cpu_mesh(4)
+    labels = np.zeros((16, 10, 12), dtype=np.int32)
+    labels[1:8, 1:8, 1:9] = 1
+    labels[9:15, 3:9, 4:11] = 2
+    ps = np.array([3, 3, 3])
+    affs = synthetic.labels_to_affinities(labels, ps)
+    fg = affs[13] > 0.5
+    interior = np.zeros_like(fg)
+    interior[1:-1, 1:-1, 1:-1] = True
+    centers = np.argwhere(fg & interior)
+    rng = np.random.RandomState(0)
+    order = rng.permutation(len(centers))
+    ranked = [(tuple(centers[i]), float(len(centers) - k))
+              for k, i in enumerate(order)]
+    overlap = np.zeros_like(fg)
+    overlap[7:9, 4:7, 4:7] = True
+
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    affs_d = jax.device_put(jnp.asarray(affs), cpu0)
+    sel0, run0 = greedy_cover_device(
+        affs_d, fg.astype(np.float32), ranked, ps, sparse_data=True,
+        overlap=overlap)
+    sel1, run1 = greedy_cover_device(
+        jnp.asarray(affs), fg.astype(np.float32), ranked, ps,
+        sparse_data=True, overlap=overlap, mesh=mesh)
+    assert [tuple(map(int, c)) for c, _ in sel0] \
+        == [tuple(map(int, c)) for c, _ in sel1]
+    np.testing.assert_array_equal(np.asarray(run0), np.asarray(run1))
