@@ -65,9 +65,15 @@ def main():
         "pt0.6": dict(pt=0.6, fc=0.6, mws=True, skel=True, ni=(0.9, 0.1)),
         "pt0.6fc0.4": dict(pt=0.6, fc=0.4, mws=True, skel=True,
                            ni=(0.9, 0.1)),
+        # full-fg cover (no skeletonize) swept best on the r5 SWA
+        # checkpoints (parity/sweep_r5_swa*.json)
+        "noskel0.6": dict(pt=0.6, fc=0.6, mws=True, skel=False,
+                          ni=(0.9, 0.1)),
+        "noskel0.6fc0.5": dict(pt=0.6, fc=0.5, mws=True, skel=False,
+                               ni=(0.9, 0.1)),
     }
     combos = {k: all_combos[k] for k in args.combos.split(",")}
-    rms = (0, 200, 500)
+    rms = (0, 200, 400, 500)
 
     results = {"exp": args.exp, "rows": []}
     best = None
