@@ -14,12 +14,25 @@ import numpy as np
 from ..ops.np_reference import patch_offsets
 
 
-def sparsify_patches(all_patches, stride: int = 20):
+def sparsify_patches(all_patches, stride: int = 20, vol_shape=None):
     """Keep patches on the sparse coordinate grid ``coord % stride == 1``
     (every axis), matching isbi_hacks.py:10-14 (``np.all(p % 20 == 1)``) —
-    a fixed grid over the volume, NOT every Nth list element."""
-    return [p for p in all_patches
-            if np.all(np.asarray(p) % stride == 1)]
+    a fixed grid over the volume, NOT every Nth list element.
+
+    Flat axes (volume extent 1) always pass: the reference's ISBI stack
+    keeps slice z=1 (``keep_single_slice``), whose coordinate passes
+    ``1 % 20 == 1`` by construction; a flat single-slice volume has only
+    z=0, which must not empty the candidate grid.
+    """
+    if not all_patches:
+        return all_patches
+    pts = np.asarray(list(all_patches), dtype=np.int64)
+    on_grid = pts % stride == 1
+    if vol_shape is not None:
+        flat = np.asarray(vol_shape, dtype=np.int64) == 1
+        on_grid |= flat[None, :]
+    keep = np.all(on_grid, axis=1)
+    return [tuple(p) for p in pts[keep]]
 
 
 def keep_single_slice(foreground: np.ndarray) -> np.ndarray:

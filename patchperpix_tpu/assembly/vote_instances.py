@@ -592,7 +592,8 @@ def to_instance_seg(
         if affs_on_device:
             pred_affs = np.asarray(pred_affs, dtype=np.float32)
         all_patches = sparsify_patches(all_patches,
-                                       params.isbi_sparsify_stride)
+                                       params.isbi_sparsify_stride,
+                                       vol_shape=vol_shape)
         if params.sample < 1.0 and len(all_patches) > 0:
             # random patch-list subsample (isbi_hacks.py:25-28)
             rng_s = np.random.RandomState(params.seed)
